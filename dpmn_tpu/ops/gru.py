@@ -1,0 +1,70 @@
+"""Bidirectional GRU with torch gate math, as a lax.scan.
+
+The TSRN family runs a bi-GRU over the W axis for every row, twice per SRB
+(reference model/tsrn.py:132-150 GruBlock) — this is the PSN hot loop.  The
+TPU formulation: the input projection for ALL timesteps is one big matmul
+(B*T, I) @ (I, 3H) that lands on the MXU; the scan body then only does the
+(B, H) @ (H, 3H) hidden matmul and the gate algebra.  Bidirectional = the
+same scan over the reversed sequence with separate weights.
+
+Gate math matches torch.nn.GRU so weights port 1:1:
+    r = sigmoid(gi_r + gh_r); z = sigmoid(gi_z + gh_z)
+    n = tanh(gi_n + r * gh_n); h' = (1 - z) * n + z * h
+with gate blocks ordered [r; z; n] in the 3H axis.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: bool) -> jax.Array:
+    """x_proj: (B, T, 3H) precomputed input projection. Returns (B, T, H)."""
+    hdim = w_hh.shape[0]
+    bsz = x_proj.shape[0]
+
+    def step(h, gi):
+        gh = h @ w_hh + b_hh  # (B, 3H)
+        r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
+        z = jax.nn.sigmoid(gi[:, hdim : 2 * hdim] + gh[:, hdim : 2 * hdim])
+        n = jnp.tanh(gi[:, 2 * hdim :] + r * gh[:, 2 * hdim :])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h0 = jnp.zeros((bsz, hdim), x_proj.dtype)
+    xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H)
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=4)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional single-layer GRU; input (B, T, I) → (B, T, 2*H).
+
+    hidden_size H = features // 2, output concat [forward; backward], matching
+    torch.nn.GRU(out_channels, out_channels // 2, bidirectional=True,
+    batch_first=True) as used in GruBlock (model/tsrn.py:140).
+    """
+
+    features: int  # output feature count (2 * hidden)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hdim = self.features // 2
+        in_dim = x.shape[-1]
+        k = 1.0 / jnp.sqrt(hdim)
+        init = nn.initializers.uniform(scale=2 * k)  # uniform(0, 2k); shift to (-k, k)
+
+        def u_init(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - k
+
+        outs = []
+        for tag, reverse in (("fw", False), ("bw", True)):
+            w_ih = self.param(f"w_ih_{tag}", u_init, (in_dim, 3 * hdim))
+            w_hh = self.param(f"w_hh_{tag}", u_init, (hdim, 3 * hdim))
+            b_ih = self.param(f"b_ih_{tag}", u_init, (3 * hdim,))
+            b_hh = self.param(f"b_hh_{tag}", u_init, (3 * hdim,))
+            x_proj = x @ w_ih + b_ih  # one (B*T, I)@(I,3H) MXU matmul
+            outs.append(_gru_scan(x_proj, w_hh, b_hh, reverse))
+        return jnp.concatenate(outs, axis=-1)
