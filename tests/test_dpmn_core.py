@@ -1,0 +1,100 @@
+"""Shape/jit/behavior tests for the DPMN core: PGRM, CMM, DistillModule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpmn_tpu.models import PGRM, CMM, DistillModule
+
+
+def _pgrm(iter_=0, graphic=True, faithful=True):
+    return PGRM(
+        img_size=(32, 128),
+        patch_size=2,
+        embed_dim=96,
+        num_layers=1,
+        num_heads=(6,),
+        window_size=(2, 4, 8),
+        iter=iter_,
+        graphic_mode=graphic,
+        hidden_size=3,
+        faithful=faithful,
+    )
+
+
+def test_pgrm_graphic_branch_shapes():
+    model = _pgrm(iter_=0, graphic=True)
+    x_q = jnp.zeros((2, 32, 128, 2))  # lower+upper glyph channels
+    x_kv = jnp.zeros((2, 32, 128, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x_q, x_kv, ())
+    y = model.apply(vars_, x_q, x_kv, ())
+    assert y.shape == (2, 32, 128, 3)
+    assert "prior_fusion" in vars_["params"]
+
+
+def test_pgrm_semantic_branch_and_residuals():
+    model = _pgrm(iter_=2, graphic=False)
+    x_q = jnp.ones((1, 32, 128, 3)) * 0.5  # mask prior is 3-channel
+    x_kv = jnp.ones((1, 32, 128, 3)) * 0.5
+    res = [jnp.ones((1, 32, 128, 3)) * v for v in (0.1, 0.2)]
+    vars_ = model.init(jax.random.PRNGKey(0), x_q, x_kv, res)
+    y = model.apply(vars_, x_q, x_kv, res)
+    assert y.shape == (1, 32, 128, 3)
+    # all iter+1 residual weights registered even if unused (ref pgrm.py:496-497)
+    for i in range(3):
+        assert f"weight_list_{i}" in vars_["params"]
+    # residual_list[1] contributes: output differs when it changes
+    res2 = [res[0], res[1] + 1.0]
+    y2 = model.apply(vars_, x_q, x_kv, res2)
+    assert float(jnp.abs(y2 - y).max()) > 0.5
+    # residual_list[0] does NOT contribute (quirk: loop starts at 1)
+    res3 = [res[0] + 1.0, res[1]]
+    y3 = model.apply(vars_, x_q, x_kv, res3)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y), atol=1e-6)
+
+
+def test_pgrm_jit_and_grad():
+    model = _pgrm()
+    x_q = jnp.zeros((1, 32, 128, 2))
+    x_kv = jnp.zeros((1, 32, 128, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x_q, x_kv, ())
+
+    @jax.jit
+    def loss_fn(params):
+        y = model.apply({"params": params}, x_q, x_kv, ())
+        return jnp.mean(y**2)
+
+    g = jax.grad(loss_fn)(vars_["params"])
+    assert jax.tree_util.tree_structure(g) == jax.tree_util.tree_structure(vars_["params"])
+
+
+def test_pgrm_corrected_mode_differs():
+    xq = jnp.asarray(np.random.RandomState(0).rand(1, 32, 128, 3), jnp.float32)
+    xkv = jnp.asarray(np.random.RandomState(1).rand(1, 32, 128, 3), jnp.float32)
+    m_f = _pgrm(graphic=False, faithful=True)
+    m_c = _pgrm(graphic=False, faithful=False)
+    v = m_f.init(jax.random.PRNGKey(0), xq, xkv, ())
+    y_f = m_f.apply(v, xq, xkv, ())
+    y_c = m_c.apply(v, xq, xkv, ())
+    assert y_f.shape == y_c.shape
+    assert float(jnp.abs(y_f - y_c).max()) > 1e-4  # layouts genuinely differ
+
+
+def test_cmm_shapes():
+    model = CMM(cnum=16)  # small for test speed
+    x1 = jnp.zeros((2, 32, 128, 3))
+    x2 = jnp.zeros((2, 32, 128, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x1, x2)
+    y = model.apply(vars_, x1, x2)
+    assert y.shape == (2, 32, 128, 3)
+
+
+def test_distill_module():
+    model = DistillModule()
+    deep = jnp.ones((2, 32, 128, 3)) * 0.7
+    shallow = jnp.ones((2, 32, 128, 3)) * 0.2
+    vars_ = model.init(jax.random.PRNGKey(0), deep, shallow)
+    loss, feat = model.apply(vars_, deep, shallow)
+    assert loss.shape == ()
+    assert feat.shape == (2, 32, 128, 3)
+    assert float(loss) >= 0.0
