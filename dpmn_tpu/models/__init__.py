@@ -3,6 +3,8 @@ from .stn import STNHead
 from .tps import TPSSpatialTransformer
 from .tsrn import TSRN, TSRN_TL
 from .crnn import CRNN, parse_crnn_input
+from .tbsrn import TBSRN
+from .tatt import TSRN_TL_TRANS
 from .pgrm import PGRM
 from .cmm import CMM
 from .distill import DistillModule
