@@ -1,0 +1,296 @@
+"""ASTER recognizer: TPS-STN → 31-layer ResNet + 2-layer BiLSTM → attention
+GRU decoder with width-5 beam search.
+
+Parity: reference model/recognizer/ —
+  * recognizer_builder.py:27-104 (RecognizerBuilder: stn input 32x64,
+    tps output 32x100, beam width 5)
+  * resnet_aster.py:37-128 (AsterBlock stacks, strides [2,2]/[2,2]/[2,1]/[2,1]/[2,1])
+  * attention_recognition_head.py:11-268 (AttentionUnit + GRU DecoderUnit,
+    teacher-forced forward, greedy sample, beam_search)
+
+TPU formulation of beam search: the reference's per-step python loop with
+topk + backtracking (attention_recognition_head.py:68-184) becomes two
+lax.scans with static max_len and beam width — a forward scan over the
+inflated (B*K) batch storing symbols/predecessors/EOS-event scores, and a
+reverse scan that backtracks the best-scoring EOS event (the reference's
+EOS-replacement backtracking keeps exactly the max-score EOS emission at the
+decoded-string level, since everything after the first EOS is discarded by
+get_str_list — utils/metrics.py:36-44).
+
+The decoder cell is a pure function over a params dict (extracted with
+self.param in the head) so it can live inside jax.lax.scan; the attention
+x-projection is hoisted out of the scan as one batched matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.lstm import BiLSTM
+from ..ops.resize import resize
+from .stn import STNHead
+from .tps import TPSSpatialTransformer
+
+
+class AsterBlock(nn.Module):
+    planes: int
+    stride: tuple = (1, 1)
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda t: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(t)
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False)(x)
+        out = nn.relu(bn(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False)(out)
+        out = bn(out)
+        if self.downsample:
+            residual = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False)(x)
+            residual = bn(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetAster(nn.Module):
+    """31-conv ResNet + optional 2-layer BiLSTM (resnet_aster.py:64-128)."""
+
+    with_lstm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda t: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(t)
+        x = nn.Conv(32, (3, 3), padding=1, use_bias=False)(x)
+        x = nn.relu(bn(x))
+        inplanes = 32
+        for planes, blocks, stride in (
+            (32, 3, (2, 2)),
+            (64, 4, (2, 2)),
+            (128, 6, (2, 1)),
+            (256, 6, (2, 1)),
+            (512, 3, (2, 1)),
+        ):
+            down = stride != (1, 1) or inplanes != planes
+            x = AsterBlock(planes, stride, downsample=down)(x, train)
+            for _ in range(1, blocks):
+                x = AsterBlock(planes)(x, train)
+            inplanes = planes
+        x = x[:, 0]  # (B, 1, 25, 512) → (B, 25, 512)
+        if self.with_lstm:
+            x = BiLSTM(hidden=256, name="lstm0")(x)
+            x = BiLSTM(hidden=256, name="lstm1")(x)
+        return x
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _gru_cell(p: Dict, h: jax.Array, x: jax.Array) -> jax.Array:
+    """torch GRUCell gate math over a params dict {w_ih, w_hh, b_ih, b_hh}."""
+    hdim = p["w_hh"].shape[0]
+    gi = x @ p["w_ih"] + p["b_ih"]
+    gh = h @ p["w_hh"] + p["b_hh"]
+    r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
+    z = jax.nn.sigmoid(gi[:, hdim : 2 * hdim] + gh[:, hdim : 2 * hdim])
+    n = jnp.tanh(gi[:, 2 * hdim :] + r * gh[:, 2 * hdim :])
+    return (1.0 - z) * n + z * h
+
+
+def _decoder_step(p: Dict, x, x_proj, state, y_prev):
+    """One attention-GRU decode step (attention_recognition_head.py:209-268)."""
+    s_proj = _dense(p["s_embed"], state)[:, None, :]
+    e = _dense(p["w_embed"], jnp.tanh(s_proj + x_proj))[..., 0]  # (B, T)
+    alpha = jax.nn.softmax(e, axis=1)
+    context = jnp.einsum("bt,btc->bc", alpha, x)
+    y_proj = p["tgt_embedding"][y_prev.astype(jnp.int32)]
+    new_state = _gru_cell(p["gru"], state, jnp.concatenate([y_proj, context], axis=1))
+    return _dense(p["fc"], new_state), new_state
+
+
+class AttentionRecognitionHead(nn.Module):
+    num_classes: int
+    in_planes: int
+    s_dim: int = 512
+    att_dim: int = 512
+    max_len_labels: int = 100
+
+    def setup(self):
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        d_in = self.in_planes + self.att_dim
+
+        def u_init(scale):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+            return init
+
+        k = 1.0 / jnp.sqrt(self.s_dim)
+        self.p = {
+            "s_embed": {
+                "kernel": self.param("s_embed_kernel", lecun, (self.s_dim, self.att_dim)),
+                "bias": self.param("s_embed_bias", zeros, (self.att_dim,)),
+            },
+            "x_embed": {
+                "kernel": self.param("x_embed_kernel", lecun, (self.in_planes, self.att_dim)),
+                "bias": self.param("x_embed_bias", zeros, (self.att_dim,)),
+            },
+            "w_embed": {
+                "kernel": self.param("w_embed_kernel", lecun, (self.att_dim, 1)),
+                "bias": self.param("w_embed_bias", zeros, (1,)),
+            },
+            "tgt_embedding": self.param(
+                "tgt_embedding", nn.initializers.normal(1.0), (self.num_classes + 1, self.att_dim)
+            ),
+            "gru": {
+                "w_ih": self.param("gru_w_ih", u_init(k), (d_in, 3 * self.s_dim)),
+                "w_hh": self.param("gru_w_hh", u_init(k), (self.s_dim, 3 * self.s_dim)),
+                "b_ih": self.param("gru_b_ih", u_init(k), (3 * self.s_dim,)),
+                "b_hh": self.param("gru_b_hh", u_init(k), (3 * self.s_dim,)),
+            },
+            "fc": {
+                "kernel": self.param("fc_kernel", lecun, (self.s_dim, self.num_classes)),
+                "bias": self.param("fc_bias", zeros, (self.num_classes,)),
+            },
+        }
+
+    def __call__(self, x, targets, num_steps: int = None):
+        """Teacher-forced forward → (B, num_steps, num_classes) logits."""
+        p = self.p
+        num_steps = num_steps or self.max_len_labels
+        b = x.shape[0]
+        x_proj = _dense(p["x_embed"], x)
+        bos = jnp.full((b,), self.num_classes, jnp.int32)
+        y_in = jnp.concatenate([bos[:, None], targets[:, : num_steps - 1].astype(jnp.int32)], axis=1)
+
+        def step(state, y_prev):
+            logits, state = _decoder_step(p, x, x_proj, state, y_prev)
+            return state, logits
+
+        state0 = jnp.zeros((b, self.s_dim), x.dtype)
+        _, logits = jax.lax.scan(step, state0, jnp.swapaxes(y_in, 0, 1))
+        return jnp.swapaxes(logits, 0, 1)
+
+    def sample(self, x):
+        """Greedy decode → (ids (B, L), scores (B, L))."""
+        p = self.p
+        b = x.shape[0]
+        x_proj = _dense(p["x_embed"], x)
+
+        def step(carry, _):
+            state, y_prev = carry
+            logits, state = _decoder_step(p, x, x_proj, state, y_prev)
+            probs = jax.nn.softmax(logits, axis=1)
+            pred = probs.argmax(1).astype(jnp.int32)
+            return (state, pred), (pred, probs.max(1))
+
+        init = (jnp.zeros((b, self.s_dim), x.dtype), jnp.full((b,), self.num_classes, jnp.int32))
+        _, (ids, scores) = jax.lax.scan(step, init, None, length=self.max_len_labels)
+        return jnp.swapaxes(ids, 0, 1), jnp.swapaxes(scores, 0, 1)
+
+    def beam_search(self, x, beam_width: int, eos: int):
+        """Static-shape beam search (see module docstring) → (ids (B, L), ones)."""
+        p = self.p
+        b = x.shape[0]
+        k = beam_width
+        nc = self.num_classes
+        t_max = self.max_len_labels
+
+        x_inf = jnp.repeat(x, k, axis=0)  # ABC→AABBCC (ref :78 equivalent)
+        x_proj = _dense(p["x_embed"], x_inf)
+
+        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+        seq_scores = jnp.full((b * k, 1), -jnp.inf, x.dtype).at[::k].set(0.0)
+        pos_index = (jnp.arange(b) * k)[:, None]
+
+        def fwd(carry, _):
+            state, y_prev, scores_c = carry
+            logits, state = _decoder_step(p, x_inf, x_proj, state, y_prev)
+            logp = jax.nn.log_softmax(logits, axis=1)
+            cand = (scores_c + logp).reshape(b, k * nc)
+            scores, candidates = jax.lax.top_k(cand, k)  # (B, K)
+            y = (candidates % nc).reshape(b * k).astype(jnp.int32)
+            predecessors = (candidates // nc + pos_index).reshape(b * k)
+            state = state[predecessors]
+            new_scores = scores.reshape(b * k, 1)
+            stored = new_scores[:, 0]
+            ended = (y == eos)[:, None]  # mask continuing ended beams (ref :114-118)
+            new_scores = jnp.where(ended, neg_inf, new_scores)
+            return (state, y, new_scores), (y, predecessors.astype(jnp.int32), stored)
+
+        init = (jnp.zeros((b * k, self.s_dim), x.dtype), jnp.full((b * k,), nc, jnp.int32), seq_scores)
+        _, (symbols, preds, stored_scores) = jax.lax.scan(fwd, init, None, length=t_max)
+
+        sym = symbols.reshape(t_max, b, k)
+        prd = preds.reshape(t_max, b, k) - pos_index[None, :, :]  # slot within beam
+        sco = stored_scores.reshape(t_max, b, k)
+
+        eos_scores = jnp.where(sym == eos, sco, -jnp.inf)  # (T, B, K)
+        flat = eos_scores.transpose(1, 0, 2).reshape(b, t_max * k)
+        best_idx = flat.argmax(axis=1)
+        best_score = flat[jnp.arange(b), best_idx]
+        t_sel = (best_idx // k).astype(jnp.int32)
+        k_sel = (best_idx % k).astype(jnp.int32)
+        no_eos = ~jnp.isfinite(best_score)  # fallback: top final beam
+        t_sel = jnp.where(no_eos, t_max - 1, t_sel)
+        k_sel = jnp.where(no_eos, sco[t_max - 1].argmax(axis=1).astype(jnp.int32), k_sel)
+
+        def back(carry, inputs):
+            slot, active = carry
+            t, sym_t, prd_t = inputs
+            start = t == t_sel
+            slot = jnp.where(start, k_sel, slot)
+            active = active | start
+            out = jnp.where(active, sym_t[jnp.arange(b), slot], eos)
+            slot = jnp.where(active, prd_t[jnp.arange(b), slot], slot)
+            return (slot, active), out
+
+        ts = jnp.arange(t_max - 1, -1, -1)
+        init_b = (jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool))
+        _, rev_ids = jax.lax.scan(back, init_b, (ts, sym[::-1], prd[::-1]))
+        ids = jnp.swapaxes(rev_ids[::-1], 0, 1)  # (B, T)
+        return ids, jnp.ones_like(ids)
+
+
+class RecognizerBuilder(nn.Module):
+    """Full ASTER (recognizer_builder.py:27-104)."""
+
+    rec_num_classes: int = 97
+    s_dim: int = 512
+    att_dim: int = 512
+    max_len_labels: int = 100
+    eos: int = 94  # char2id['EOS'] for voc_type='all'
+    stn_on: bool = True
+    beam_width: int = 5
+
+    @nn.compact
+    def __call__(self, images, rec_targets=None, train: bool = False):
+        """images: (B, 32, 100, 3) NHWC in [-1, 1].  Eval returns pred ids."""
+        x = images
+        if self.stn_on:
+            stn_input = resize(x, (32, 64), mode="bilinear", align_corners=True)
+            _, ctrl = STNHead(num_ctrlpoints=20, activation="none", name="stn_head")(stn_input, train)
+            x, _ = TPSSpatialTransformer((32, 100), 20, (0.05, 0.05))(x, ctrl)
+        feats = ResNetAster(name="encoder")(x, train)
+        head = AttentionRecognitionHead(
+            num_classes=self.rec_num_classes,
+            in_planes=512,
+            s_dim=self.s_dim,
+            att_dim=self.att_dim,
+            max_len_labels=self.max_len_labels,
+            name="decoder",
+        )
+        if train:
+            assert rec_targets is not None
+            return head(feats, rec_targets)
+        ids, scores = head.beam_search(feats, self.beam_width, self.eos)
+        return {"pred_rec": ids, "pred_rec_score": scores}
+
+
+def parse_aster_input(imgs: jax.Array) -> jax.Array:
+    """RGB NHWC [0,1] → [-1,1] (interfaces/base.py:441-450)."""
+    return imgs[..., :3] * 2.0 - 1.0
