@@ -1,0 +1,361 @@
+"""DPMN system: model bundle + jitted train/eval steps.
+
+This is the TPU-native re-design of the reference driver
+(interfaces/super_resolution.py:25-337 train, :340-513 eval, :515-776 test).
+Everything the reference does per batch — frozen PSN forward, the dual PGRM
+cascade with glyph/mask priors, the distill cascade, CMM fusion, the joint
+loss, per-module gradient clipping and the Adam update — happens inside ONE
+jitted function over ONE train-state pytree.  The reference's host-side
+per-sample loops become:
+  * VisionLAN student inference: batched on device (vs per-sample at
+    super_resolution.py:177-193)
+  * glyph prior: a shape-static jax.pure_callback into the memoized host
+    renderer (glyph_mode='callback'), a device-side zeros stub for sharding
+    dry-runs ('zeros'), or skipped entirely
+  * mask prior: fully on device (ops/mask_prior.py vs util.py:27-35)
+
+Cascade algebra parity notes (super_resolution.py):
+  * branch-1 residuals: cascade_list[:k] (:207); branch-2: list[:(k - b2)] (:234)
+  * per-iteration loss: ImageLoss(sr, hr[:, :3]) * 100 (:212,:239)
+  * distill runs deep→shallow per branch, loss * 100 (:245-263)
+  * total loss divided by (b1 + b2 + 1) (:269)
+  * per-module grad clip at 0.25 (:272-277), one Adam over everything (:123)
+  * recognizer students receive no gradient in the reference (the glyph
+    render breaks the graph; prob_lr is dead) — they are held frozen here.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .config import Args, TrainCfg, parse_pgrm_hparams
+from .data.glyph import glyph_prior_from_ids
+from .losses import image_loss
+from .models.cmm import CMM
+from .models.crnn import CRNN, parse_crnn_input
+from .models.distill import DistillModule
+from .models.pgrm import PGRM
+from .models.tatt import TSRN_TL_TRANS
+from .models.tbsrn import TBSRN
+from .models.tsrn import TSRN, TSRN_TL
+from .models.visionlan import VisionLAN, parse_visionlan_input
+from .ops.mask_prior import to_mask
+from .utils.labels import DIC_36
+
+
+def _tree_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def per_module_clip(max_norm: float) -> optax.GradientTransformation:
+    """torch clip_grad_norm_(0.25) applied per top-level module subtree
+    (interfaces/super_resolution.py:272-277)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_tree(tree):
+            norm = _tree_norm(tree)
+            scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+            return jax.tree_util.tree_map(lambda g: g * scale, tree)
+
+        return {k: clip_tree(v) for k, v in updates.items()}, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+@dataclass
+class DPMNSystem:
+    cfg: TrainCfg
+    args: Args
+    glyph_mode: str = "callback"  # 'callback' | 'zeros'
+    donate_state: bool = False
+
+    def __post_init__(self):
+        a = self.args
+        hp = parse_pgrm_hparams(a)
+        self.b1, self.b2 = a.stu_iter_b1, a.stu_iter_b2
+        self.n_pgrm = 2 if a.sr_share else self.b1 + self.b2
+        img_size = (self.cfg.height, self.cfg.width)
+        self.hr_shape = img_size
+
+        def make_pgrm(iter_: int, graphic: bool) -> PGRM:
+            i = min(iter_, len(hp.depths) - 1) if len(hp.depths) == 1 else iter_
+            return PGRM(
+                img_size=img_size,
+                patch_size=hp.patch_size[min(i, len(hp.patch_size) - 1)],
+                embed_dim=hp.embed_dim[min(i, len(hp.embed_dim) - 1)],
+                num_layers=hp.depths[min(i, len(hp.depths) - 1)],
+                num_heads=tuple(hp.num_heads[min(i, len(hp.num_heads) - 1)]),
+                window_size=tuple(hp.window_size[min(i, len(hp.window_size) - 1)]),
+                mlp_ratio=float(hp.mlp_ratio[min(i, len(hp.mlp_ratio) - 1)]),
+                drop_rate=float(hp.drop_rate[min(i, len(hp.drop_rate) - 1)]),
+                attn_drop_rate=float(hp.attn_drop_rate[min(i, len(hp.attn_drop_rate) - 1)]),
+                drop_path_rate=float(hp.drop_path_rate[min(i, len(hp.drop_path_rate) - 1)]),
+                iter=iter_,
+                graphic_mode=graphic,
+                hidden_size=3,
+                faithful=a.faithful,
+            )
+
+        # model_list layout parity (super_resolution.py:38-54): b1 graphic
+        # PGRMs (mode=False → has prior_fusion), b2 semantic, then CMM.
+        self.pgrms: List[PGRM] = []
+        if a.sr_share:
+            self.pgrms = [make_pgrm(0, True), make_pgrm(self.b1, False)]
+        else:
+            self.pgrms = [make_pgrm(k, True) for k in range(self.b1)]
+            self.pgrms += [make_pgrm(k, False) for k in range(self.b1, self.b1 + self.b2)]
+        self.cmm = CMM()
+        self.n_distill = max(self.b1 + self.b2 - 2, 0)
+        self.distills = [DistillModule() for _ in range(self.n_distill)]
+
+        # PSN (frozen)
+        psn_kw = dict(
+            scale_factor=self.cfg.down_sample_scale,
+            width=self.cfg.width,
+            height=self.cfg.height,
+            stn=a.STN,
+            mask=a.mask,
+            srb_nums=a.srb,
+            hidden_units=a.hd_u,
+        )
+        if a.arch in ("tsrn", "tg"):
+            self.psn = TSRN(**psn_kw)
+        elif a.arch == "tbsrn":
+            self.psn = TBSRN(**psn_kw)
+        elif a.arch == "tpgsr":
+            self.psn = TSRN_TL(**psn_kw)
+        elif a.arch == "tatt":
+            self.psn = TSRN_TL_TRANS(**psn_kw, faithful=a.faithful)
+        else:
+            raise ValueError(a.arch)
+        self.needs_text_prior = a.arch in ("tpgsr", "tatt")
+        self.crnn_psn = CRNN() if self.needs_text_prior else None
+        self.student = VisionLAN()  # trainable-in-name-only TPG (see docstring)
+        self.charset = "".join(DIC_36)
+
+        self._adam = optax.chain(
+            per_module_clip(0.25),
+            optax.adam(self.cfg.lr, b1=self.cfg.beta1, b2=0.999, eps=1e-8),
+        )
+        # jitted entry points (self is captured by closure, not traced);
+        # donate_state=True lets XLA reuse the old state buffers in-place —
+        # enable it in the real training loop, keep off when state is reused.
+        self.train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,) if self.donate_state else ()
+        )
+        self.sr_forward = jax.jit(self._sr_forward_impl)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array, batch_size: int = 2) -> Dict[str, Any]:
+        a = self.args
+        in_ch = 4 if a.mask else 3
+        lr_h = self.cfg.height // self.cfg.down_sample_scale
+        lr_w = self.cfg.width // self.cfg.down_sample_scale
+        dummy_lr = jnp.zeros((batch_size, lr_h, lr_w, in_ch))
+        dummy_hr3 = jnp.zeros((batch_size, self.cfg.height, self.cfg.width, 3))
+        dummy_glyph = jnp.zeros((batch_size, self.cfg.height, self.cfg.width, 2))
+        dummy_emb = jnp.zeros((batch_size, 1, 26, 37))
+
+        keys = jax.random.split(rng, 16)
+        params: Dict[str, Any] = {}
+        batch_stats: Dict[str, Any] = {}
+
+        def split_vars(v):
+            return v.get("params", {}), v.get("batch_stats", {})
+
+        for i, m in enumerate(self.pgrms):
+            x_q = dummy_glyph if m.graphic_mode else dummy_hr3
+            v = m.init(keys[i % 16], x_q, dummy_hr3, ())
+            params[f"pgrm_{i}"], bs = split_vars(v)
+            if bs:
+                batch_stats[f"pgrm_{i}"] = bs
+        v = self.cmm.init(keys[10], dummy_hr3, dummy_hr3)
+        params["cmm"], batch_stats["cmm"] = split_vars(v)
+        for i, d in enumerate(self.distills):
+            v = d.init(keys[11], dummy_hr3, dummy_hr3)
+            params[f"distill_{i}"], batch_stats[f"distill_{i}"] = split_vars(v)
+
+        frozen: Dict[str, Any] = {}
+        if self.needs_text_prior:
+            v = self.psn.init(keys[12], dummy_lr, dummy_emb, train=False)
+        else:
+            v = self.psn.init(keys[12], dummy_lr, train=False)
+        frozen["psn"] = v
+        if self.crnn_psn is not None:
+            frozen["crnn_psn"] = self.crnn_psn.init(keys[13], jnp.zeros((batch_size, 32, 100, 1)), train=False)
+        vl_in = jnp.zeros((batch_size, 64, 256, 3))
+        for k in range(self.b1):
+            frozen[f"student_{k}"] = self.student.init(keys[14], vl_in, train=False)
+
+        opt_state = self._adam.init(params)
+        return {
+            "params": params,
+            "batch_stats": batch_stats,
+            "frozen": frozen,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    # ------------------------------------------------------------- internals
+
+    def _psn_forward(self, frozen, images_lr):
+        """Frozen PSN forward in eval mode (super_resolution.py:156-169)."""
+        if self.needs_text_prior:
+            crnn_in = parse_crnn_input(images_lr[..., :3])
+            logits = self.crnn_psn.apply(frozen["crnn_psn"], crnn_in, train=False)  # (T, B, 37)
+            label_vecs = jax.nn.softmax(logits, axis=-1)
+            # torch: (T,B,37) → permute(1,0,2) → (B,T,37) → unsqueeze(1) →
+            # permute(0,3,1,2) = (B,37,1,T) NCHW ⇒ NHWC (B,1,T,37)
+            emb = jnp.swapaxes(label_vecs, 0, 1)[:, None, :, :]
+            if self.args.arch == "tatt":
+                out, _ = self.psn.apply(frozen["psn"], images_lr, jax.lax.stop_gradient(emb), train=False)
+            else:
+                out = self.psn.apply(frozen["psn"], images_lr, emb, train=False)
+        else:
+            out = self.psn.apply(frozen["psn"], images_lr, train=False)
+        return jax.lax.stop_gradient(out)
+
+    def _glyph_prior(self, frozen, k, cascade_images):
+        """Recognize the cascade image and render the 2-channel glyph prior."""
+        b = cascade_images.shape[0]
+        h, w = self.hr_shape
+        if self.glyph_mode == "zeros":
+            return jnp.zeros((b, h, w, 2), cascade_images.dtype)
+        vl_in = parse_visionlan_input(cascade_images[..., :3])
+        logits, lengths = self.student.apply(frozen[f"student_{k}"], vl_in, train=False)
+        preds = logits.argmax(-1).astype(jnp.int32)  # (B, 25)
+        font_path = self.args.font_path
+
+        def host_render(preds_np, lengths_np):
+            return glyph_prior_from_ids(preds_np, lengths_np, list(self.charset), font_path, (h, w))
+
+        out_shape = jax.ShapeDtypeStruct((b, h, w, 2), jnp.float32)
+        glyphs = jax.pure_callback(host_render, out_shape, preds, lengths.astype(jnp.int32))
+        return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
+
+    def _cascade(self, params, batch_stats, frozen, images_lr_psn, images_hr, train, rngs):
+        """Dual-branch PGRM cascade + distill + CMM. Returns (loss, sr, new_bs)."""
+        a = self.args
+        new_bs = dict(batch_stats)
+        loss_total = 0.0
+        mutable = ["batch_stats"] if train else False
+
+        def apply_pgrm(idx, x_q, x_kv, residuals):
+            # parity quirk: with sr_share BOTH branches pick model_list[0]
+            # (super_resolution.py:202-205,:229-232)
+            mi = 0 if a.sr_share else idx
+            name = f"pgrm_{mi}"
+            m = self.pgrms[mi]
+            variables = {"params": params[name]}
+            if name in new_bs and new_bs[name]:
+                variables["batch_stats"] = new_bs[name]
+            out = m.apply(variables, x_q, x_kv, residuals, train=train, rngs=rngs, mutable=mutable)
+            if mutable:
+                sr, mut = out
+                if "batch_stats" in mut:
+                    new_bs[name] = mut["batch_stats"]
+                return sr
+            return out
+
+        # ---- branch 1: graphic prior (:174-213)
+        cascade = images_lr_psn
+        b1_list = []
+        for k in range(self.b1):
+            x_q = self._glyph_prior(frozen, k, cascade)
+            sr = apply_pgrm(k, x_q, cascade[..., :3], b1_list[:k])
+            b1_list.append(sr)
+            cascade = sr
+            loss_total += image_loss(sr, images_hr[..., :3], gradient=a.gradient) * 100.0
+
+        # ---- branch 2: semantic prior (:218-240)
+        cascade = images_lr_psn
+        b2_list = []
+        for k in range(self.b1, self.b1 + self.b2):
+            x_q = jax.lax.stop_gradient(to_mask(cascade))
+            sr = apply_pgrm(k, x_q, cascade[..., :3], b2_list[: (k - self.b2)])
+            b2_list.append(sr)
+            cascade = sr
+            loss_total += image_loss(sr, images_hr[..., :3], gradient=a.gradient) * 100.0
+
+        # ---- distill cascades (:245-263)
+        def apply_distill(idx, deep, shallow):
+            name = f"distill_{idx}"
+            variables = {"params": params[name], "batch_stats": new_bs[name]}
+            out = self.distills[idx].apply(variables, deep, shallow, train=train, mutable=mutable)
+            if mutable:
+                (l, feat), mut = out
+                new_bs[name] = mut["batch_stats"]
+                return l, feat
+            return out
+
+        feat = b1_list[-1]
+        for k in range(self.b1 - 1, 0, -1):
+            l, feat = apply_distill(k - 1, feat, b1_list[k - 1])
+            loss_total += l * 100.0
+        feat = b2_list[-1]
+        for k in range(self.b2 - 1, 0, -1):
+            l, feat = apply_distill(k + self.b1 - 2, feat, b2_list[k - 1])
+            loss_total += l * 100.0
+
+        # ---- CMM fusion (:265-269)
+        variables = {"params": params["cmm"], "batch_stats": new_bs["cmm"]}
+        out = self.cmm.apply(variables, b1_list[-1], b2_list[-1], train=train, mutable=mutable)
+        if mutable:
+            sr_final, mut = out
+            new_bs["cmm"] = mut["batch_stats"]
+        else:
+            sr_final = out
+        loss_total += image_loss(sr_final, images_hr[..., :3], gradient=a.gradient) * 100.0
+        loss_total = loss_total / (self.b1 + self.b2 + 1)
+        return loss_total, sr_final, new_bs
+
+    # ----------------------------------------------------------------- steps
+
+    def _train_step_impl(self, state, images_hr, images_lr, rng):
+        frozen = state["frozen"]
+        images_lr_psn = self._psn_forward(frozen, images_lr)
+        rngs = {"dropout": rng}
+
+        def loss_fn(params):
+            loss, sr, new_bs = self._cascade(
+                params, state["batch_stats"], frozen, images_lr_psn, images_hr, True, rngs
+            )
+            return loss, (sr, new_bs)
+
+        (loss, (sr, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = self._adam.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": new_params,
+            "batch_stats": new_bs,
+            "frozen": frozen,
+            "opt_state": new_opt,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss}
+
+    def _sr_forward_impl(self, state, images_lr):
+        """Eval-mode PSN + cascade + CMM + α-blend (super_resolution.py:385-449)."""
+        frozen = state["frozen"]
+        images_lr_psn = self._psn_forward(frozen, images_lr)
+        _, sr, _ = self._cascade(
+            state["params"], state["batch_stats"], frozen, images_lr_psn,
+            jnp.zeros_like(images_lr_psn[..., :3]), False, None,
+        )
+        alpha = self.args.alpha
+        return alpha * sr + (1 - alpha) * images_lr_psn[..., :3]

@@ -1,0 +1,76 @@
+"""End-to-end system smoke tests: init, one train step, one eval forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpmn_tpu.config import Args, TrainCfg
+from dpmn_tpu.system import DPMNSystem
+
+
+def tiny_system(arch="tsrn", glyph_mode="zeros", b1=1, b2=1, **kw):
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch=arch,
+        mask=True,
+        stu_iter_b1=b1,
+        stu_iter_b2=b2,
+        patch_size="2,",
+        embed_dim="24,",
+        window_size="2,4,8,",
+        depths="1,",
+        num_heads="6,",
+        srb=1,
+        hd_u=4,
+        **kw,
+    )
+    return DPMNSystem(cfg, args, glyph_mode=glyph_mode)
+
+
+@pytest.fixture(scope="module")
+def sys_state():
+    system = tiny_system()
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    return system, state
+
+
+def test_init_state_structure(sys_state):
+    system, state = sys_state
+    assert "pgrm_0" in state["params"] and "pgrm_1" in state["params"]
+    assert "cmm" in state["params"]
+    assert "psn" in state["frozen"] and "student_0" in state["frozen"]
+    # graphic-branch model has prior_fusion, semantic doesn't
+    assert "prior_fusion" in state["params"]["pgrm_0"]
+    assert "prior_fusion" not in state["params"]["pgrm_1"]
+
+
+def test_train_step_decreases_nothing_but_runs(sys_state):
+    system, state = sys_state
+    rng = jax.random.PRNGKey(1)
+    hr = jnp.asarray(np.random.RandomState(0).rand(2, 32, 128, 4), jnp.float32)
+    lr = jnp.asarray(np.random.RandomState(1).rand(2, 16, 64, 4), jnp.float32)
+    new_state, metrics = system.train_step(state, hr, lr, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state["step"]) == 1
+    # params changed
+    p0 = jax.tree_util.tree_leaves(state["params"]["cmm"])[0]
+    p1 = jax.tree_util.tree_leaves(new_state["params"]["cmm"])[0]
+    assert float(jnp.abs(p1 - p0).max()) > 0.0
+
+
+def test_sr_forward_shapes(sys_state):
+    system, state = sys_state
+    lr = jnp.asarray(np.random.RandomState(2).rand(2, 16, 64, 4), jnp.float32)
+    sr = system.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_glyph_callback_mode():
+    system = tiny_system(glyph_mode="callback")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(3).rand(2, 16, 64, 4), jnp.float32)
+    sr = system.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
