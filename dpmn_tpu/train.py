@@ -1,0 +1,210 @@
+"""Training / evaluation / test driver (the TextSR equivalent).
+
+Parity targets: interfaces/super_resolution.py —
+  * train (:25-337): epoch/batch loop, displayInterval wall-clock prints,
+    valInterval eval over easy/medium/hard with best-acc tracking and
+    checkpointing, saveInterval checkpoints, log.csv rows
+    [epoch, dataset, acc, psnr, ssim, best*] (main.py:27-31)
+  * eval (:340-513): PSN → cascade → CMM → α-blend, PSNR/SSIM means over
+    batches, recognizer word accuracy vs str_filt(label, 'lower')
+  * test (:515-776): same + per-image duration, test_result.csv rows
+    [rec, subset, acc, psnr, ssim]; the student recognizers read
+    images_lr_psn instead of the cascade (:648) — reproduced via the
+    system's glyph_from_psn flag.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import save_checkpoint
+from .config import Args, TrainCfg
+from .data import AlignCollate, ConcatDataset, DataLoader, SyntheticTextZoom, TextZoomLMDB
+from .evaluator import build_evaluator
+from .system import DPMNSystem
+from .utils import metrics as M
+from .utils.labels import str_filt
+from .utils.seed import set_seed
+
+
+class Trainer:
+    def __init__(self, cfg: TrainCfg, args: Args, glyph_mode: str = "callback"):
+        self.cfg = cfg
+        self.args = args
+        self.system = DPMNSystem(cfg, args, glyph_mode=glyph_mode)
+        self.batch_size = args.batch_size or cfg.batch_size
+        self.rng = set_seed(cfg.manualSeed)
+        self.evaluator = None
+
+    # ------------------------------------------------------------------ data
+
+    def _dataset(self, root, test: bool):
+        if self.args.synthetic_data:
+            return SyntheticTextZoom(n=max(self.batch_size * 4, 64))
+        return TextZoomLMDB(root, voc_type=self.cfg.voc_type, max_len=self.cfg.max_len, test=test)
+
+    def get_train_loader(self):
+        roots = self.cfg.train_data_dir or [None]
+        ds = ConcatDataset([self._dataset(r, False) for r in roots])
+        col = AlignCollate(
+            img_h=self.cfg.height, img_w=self.cfg.width,
+            down_sample_scale=self.cfg.down_sample_scale, mask=self.args.mask, train=True,
+        )
+        return DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=True, seed=self.cfg.manualSeed)
+
+    def get_val_loaders(self):
+        roots = self.cfg.val_data_dir or [None]
+        out = []
+        for r in roots:
+            ds = self._dataset(r, True)
+            col = AlignCollate(
+                img_h=self.cfg.height, img_w=self.cfg.width,
+                down_sample_scale=self.cfg.down_sample_scale, mask=self.args.mask,
+                train=False, e_substitution=True,
+            )
+            name = (r or "synthetic").rstrip("/").split("/")[-1]
+            out.append((name, DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False)))
+        return out
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, state, loader, max_batches: int = None):
+        if self.evaluator is None:
+            self.evaluator = build_evaluator(self.args.rec, jax.random.PRNGKey(7), voc_type=self.cfg.voc_type)
+        n_correct, n_images = 0, 0
+        psnrs, ssims = [], []
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            hr, lr, _, _, label_strs, _ = batch
+            hr = jnp.asarray(hr)
+            lr = jnp.asarray(lr)
+            sr = self.system.sr_forward(state, lr)
+            psnrs.append(float(M.psnr(sr, hr)))
+            ssims.append(float(M.ssim(sr, hr)))
+            pred_sr = self.evaluator.predict(sr)
+            for pred, target in zip(pred_sr, label_strs):
+                if pred == str_filt(target, "lower"):
+                    n_correct += 1
+            n_images += lr.shape[0]
+        return {
+            "accuracy": round(n_correct / max(n_images, 1), 4),
+            "psnr_avg": round(float(np.mean(psnrs)), 6),
+            "ssim_avg": round(float(np.mean(ssims)), 6),
+            "images": n_images,
+        }
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, max_iters: int = None, max_batches_eval: int = None):
+        cfg = self.cfg
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        log_path = os.path.join(cfg.ckpt_dir, "log.csv")
+        if not os.path.exists(log_path):
+            with open(log_path, "w", newline="") as out:
+                csv.writer(out).writerow(
+                    ["epoch", "dataset", "accuracy", "psnr_avg", "ssim_avg", "best", "best_sum"]
+                )
+
+        train_loader = self.get_train_loader()
+        val_loaders = self.get_val_loaders()
+        state = self.system.init_state(self.rng, batch_size=2)
+
+        best_history_acc = {name: 0.0 for name, _ in val_loaders}
+        best_acc = 0.0
+        converge_list = []
+        iters = 0
+        start = time.time()
+        for epoch in range(cfg.epochs):
+            for j, batch in enumerate(train_loader):
+                hr, _, lr, _, _, _, _, _, _ = batch
+                iters += 1
+                self.rng, step_rng = jax.random.split(self.rng)
+                state, m = self.system.train_step(state, jnp.asarray(hr), jnp.asarray(lr), step_rng)
+
+                if iters % cfg.displayInterval == 0:
+                    loss = float(m["loss"])
+                    dur = time.time() - start
+                    print(
+                        f"[{datetime.now():%Y-%m-%d %H:%M:%S}] | Epoch: [{epoch}][{j + 1} / "
+                        f"{len(train_loader)}] | Loss: {loss} | Duration: {dur}s"
+                    )
+                    start = time.time()
+
+                if iters % cfg.valInterval == 0:
+                    current = {}
+                    for name, loader in val_loaders:
+                        md = self.evaluate(state, loader, max_batches=max_batches_eval)
+                        converge_list.append(
+                            {"iterator": iters, "acc": md["accuracy"], "psnr": md["psnr_avg"], "ssim": md["ssim_avg"]}
+                        )
+                        current[name] = md["accuracy"]
+                        is_best = md["accuracy"] > best_history_acc[name]
+                        if is_best:
+                            best_history_acc[name] = md["accuracy"]
+                            save_checkpoint(
+                                os.path.join(cfg.ckpt_dir, f"model_best_{name}.msgpack"),
+                                state,
+                                {"epoch": epoch, "iters": iters, **md},
+                            )
+                        with open(log_path, "a", newline="") as out:
+                            row = [epoch, name, md["accuracy"], md["psnr_avg"], md["ssim_avg"]]
+                            csv.writer(out).writerow(row + ([f"best_{name}"] if is_best else []))
+                    if sum(current.values()) > best_acc:
+                        best_acc = sum(current.values())
+                        save_checkpoint(
+                            os.path.join(cfg.ckpt_dir, "model_best_sum.msgpack"),
+                            state,
+                            {"epoch": epoch, "iters": iters, "acc": current},
+                        )
+                        with open(log_path, "a", newline="") as out:
+                            csv.writer(out).writerow([epoch, "", "", "", "", "", "best_sum"])
+
+                if iters % cfg.saveInterval == 0:
+                    save_checkpoint(
+                        os.path.join(cfg.ckpt_dir, "checkpoint.msgpack"),
+                        state,
+                        {"epoch": epoch, "iters": iters},
+                    )
+                if max_iters is not None and iters >= max_iters:
+                    return state
+        return state
+
+    # ------------------------------------------------------------------ test
+
+    def test(self, state=None, max_batches: int = None):
+        cfg = self.cfg
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        result_path = os.path.join(cfg.ckpt_dir, "test_result.csv")
+        if not os.path.exists(result_path):
+            with open(result_path, "w", newline="") as out:
+                csv.writer(out).writerow(["recognizer", "subset", "accuracy", "psnr", "ssim"])
+        if state is None:
+            state = self.system.init_state(self.rng, batch_size=2)
+        ds = self._dataset(self.args.test_data_dir, True)
+        col = AlignCollate(
+            img_h=cfg.height, img_w=cfg.width, down_sample_scale=cfg.down_sample_scale,
+            mask=self.args.mask, train=False, e_substitution=True,
+        )
+        loader = DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False)
+        data_name = (self.args.test_data_dir or "synthetic").rstrip("/").split("/")[-1]
+        t0 = time.time()
+        md = self.evaluate(state, loader, max_batches=max_batches)
+        duration = (time.time() - t0) / max(md["images"], 1)
+        result = {
+            "accuracy": {data_name: md["accuracy"]},
+            "psnr_avg": md["psnr_avg"],
+            "ssim_avg": md["ssim_avg"],
+            "duration": duration,
+        }
+        print(result)
+        with open(result_path, "a", newline="") as out:
+            csv.writer(out).writerow([self.args.rec, data_name, md["accuracy"], md["psnr_avg"], md["ssim_avg"]])
+        return result
