@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: SR images/sec/chip on the flagship DPMN pipeline.
+
+Measures the full eval-path throughput of the TATT+DPMN dual-branch system
+(BASELINE.json config 3): frozen CRNN text prior → TATT PSN → 3+3 PGRM
+cascade with VisionLAN glyph priors (memoized host render) and device mask
+priors → CMM fusion → α-blend.  This is what TextZoom evaluation and
+serving run per image.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator used here is 100 images/sec — an optimistic estimate for the
+PyTorch reference pipeline on a V100-class GPU, where the per-sample
+host-side VisionLAN inference + pygame glyph rendering inside the batch
+loop (interfaces/super_resolution.py:389-406) dominates and caps
+throughput at tens of images/sec.  Supersede with a measured torch number
+when the reference can be run on identical data.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compilation cache: the flagship graph is large and the build
+# host is small; cache compiled executables across runs
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 100.0
+
+
+def main():
+    from dpmn_tpu.config import TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+    from __graft_entry__ import _flagship_args
+
+    batch = 64
+    cfg = TrainCfg(batch_size=batch, width=128, height=32)
+    args = _flagship_args()
+    system = DPMNSystem(cfg, args, glyph_mode="atlas")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+
+    rng = np.random.RandomState(0)
+    images_lr = jnp.asarray(rng.rand(batch, 16, 64, 4), jnp.float32)
+
+    # warmup / compile
+    sr = system.sr_forward(state, images_lr)
+    sr.block_until_ready()
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        sr = system.sr_forward(state, images_lr)
+    sr.block_until_ready()
+    dt = time.time() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "SR images/sec/chip (TATT+DPMN 3+3 eval pipeline, TextZoom shapes)",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Data parallelism over a jax.sharding.Mesh.
+
+The reference's only multi-device mechanism is single-process
+nn.DataParallel (interfaces/base.py:160-162; SURVEY §2 P1/P2) — replicate
+modules, scatter the batch, gather outputs.  The TPU-native equivalent is
+sharding, not replication-by-copy: the train state lives replicated across
+a 1-D 'data' mesh, batches are sharded on their leading axis, and XLA
+inserts the gradient all-reduce over ICI automatically from the sharding
+annotations.  No NCCL/MPI translation exists because the reference has no
+collectives to translate.
+
+The mesh is built 2-D ('data', 'model') with model=1 today; the 'model'
+axis is the seam for tensor-parallel PGRM attention if the refiner is ever
+scaled past one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0, model_parallel: int = 1) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.asarray(devs[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(devs, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    sharding = NamedSharding(mesh, P("data"))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_state(mesh: Mesh, state):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def make_parallel_trainer(system, mesh: Mesh):
+    """Wrap a DPMNSystem's step functions with mesh shardings.
+
+    Returns (train_step, sr_forward) operating on a replicated state and
+    batch-sharded images; gradient reduction is XLA-inserted.
+    """
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    train_step = jax.jit(
+        system._train_step_impl,
+        in_shardings=(rep, data, data, rep),
+        out_shardings=(rep, rep),
+    )
+    sr_forward = jax.jit(
+        system._sr_forward_impl,
+        in_shardings=(rep, data),
+        out_shardings=data,
+    )
+    return train_step, sr_forward

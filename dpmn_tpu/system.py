@@ -139,13 +139,20 @@ class DPMNSystem:
         elif a.arch == "tpgsr":
             self.psn = TSRN_TL(**psn_kw)
         elif a.arch == "tatt":
-            self.psn = TSRN_TL_TRANS(**psn_kw, faithful=a.faithful)
+            # the TPInterpreter d_model must equal the SRB channel count;
+            # the reference hardcodes 64 == 2*32 (tatt.py:590 with hd_u=32)
+            self.psn = TSRN_TL_TRANS(**psn_kw, out_text_channels=2 * a.hd_u, faithful=a.faithful)
         else:
             raise ValueError(a.arch)
         self.needs_text_prior = a.arch in ("tpgsr", "tatt")
         self.crnn_psn = CRNN() if self.needs_text_prior else None
         self.student = VisionLAN()  # trainable-in-name-only TPG (see docstring)
         self.charset = "".join(DIC_36)
+
+        if self.glyph_mode == "atlas":
+            from .data.glyph_atlas import make_device_glyph_fn
+
+            self._device_glyph = make_device_glyph_fn(self.hr_shape, self.args.font_path)
 
         self._adam = optax.chain(
             per_module_clip(0.25),
@@ -231,21 +238,41 @@ class DPMNSystem:
         return jax.lax.stop_gradient(out)
 
     def _glyph_prior(self, frozen, k, cascade_images):
-        """Recognize the cascade image and render the 2-channel glyph prior."""
+        """Recognize the cascade image and render the 2-channel glyph prior.
+
+        glyph_mode:
+          'atlas'    — fully on-device composition (data/glyph_atlas.py);
+                       required on runtimes without host callbacks
+          'callback' — bit-parity host render via jax.pure_callback
+          'zeros'    — stub for sharding dry-runs
+        """
         b = cascade_images.shape[0]
         h, w = self.hr_shape
         if self.glyph_mode == "zeros":
             return jnp.zeros((b, h, w, 2), cascade_images.dtype)
         vl_in = parse_visionlan_input(cascade_images[..., :3])
         logits, lengths = self.student.apply(frozen[f"student_{k}"], vl_in, train=False)
-        preds = logits.argmax(-1).astype(jnp.int32)  # (B, 25)
+        preds = logits.argmax(-1).astype(jnp.int32)  # (B, 25), 0 = EOS
+        lengths = lengths.astype(jnp.int32)
+
+        if self.glyph_mode == "atlas":
+            pos = jnp.arange(preds.shape[1])[None, :]
+            ids = jnp.where(pos < lengths[:, None], preds, 0)
+            # drop EOS/blank ids and compact left (the reference decodes them
+            # to '' — model/VisionLAN/utils.py:36)
+            order = jnp.argsort(ids == 0, axis=1, stable=True)
+            ids = jnp.take_along_axis(ids, order, axis=1)
+            eff_len = jnp.sum((ids > 0).astype(jnp.int32), axis=1)
+            glyphs = self._device_glyph(ids, eff_len)
+            return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
+
         font_path = self.args.font_path
 
         def host_render(preds_np, lengths_np):
             return glyph_prior_from_ids(preds_np, lengths_np, list(self.charset), font_path, (h, w))
 
         out_shape = jax.ShapeDtypeStruct((b, h, w, 2), jnp.float32)
-        glyphs = jax.pure_callback(host_render, out_shape, preds, lengths.astype(jnp.int32))
+        glyphs = jax.pure_callback(host_render, out_shape, preds, lengths)
         return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
 
     def _cascade(self, params, batch_stats, frozen, images_lr_psn, images_hr, train, rngs):

@@ -1,0 +1,42 @@
+"""Device glyph-atlas composition vs the host reference renderer."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpmn_tpu.data.glyph import GlyphRenderer
+from dpmn_tpu.data.glyph_atlas import MONO_FONT, make_device_glyph_fn
+from dpmn_tpu.utils.labels import DIC_36
+
+
+def ids_of(word):
+    out = np.zeros(25, np.int32)
+    for i, ch in enumerate(word):
+        out[i] = DIC_36.index(ch) + 1
+    return out
+
+
+def test_atlas_compose_shapes_and_content():
+    fn = make_device_glyph_fn((32, 128))
+    ids = np.stack([ids_of("hello"), ids_of("a"), np.zeros(25, np.int32)])
+    lengths = jnp.asarray([5, 1, 0], jnp.int32)
+    out = np.asarray(fn(jnp.asarray(ids), lengths))
+    assert out.shape == (3, 32, 128, 2)
+    assert out[0].max() > 100  # rendered strokes at uint8 scale
+    assert out[2].max() == 0.0  # empty string → blank canvas
+
+
+def test_atlas_close_to_host_render_mono():
+    """Against the host reference renderer with the same mono font the atlas
+    should land strokes in roughly the same cells (it is an approximation:
+    per-char fit vs whole-word fit)."""
+    fn = make_device_glyph_fn((32, 128), MONO_FONT)
+    word = "abc"
+    out = np.asarray(fn(jnp.asarray(ids_of(word))[None], jnp.asarray([3], jnp.int32)))[0, :, :, 0]
+    ref = GlyphRenderer(MONO_FONT, (32, 128))._render(word)[:, :, 0]
+    # coarse structural agreement: correlation of downsampled ink masks
+    a = out.reshape(8, 4, 16, 8).mean((1, 3))
+    b = ref.reshape(8, 4, 16, 8).mean((1, 3))
+    a = (a - a.mean()) / (a.std() + 1e-6)
+    b = (b - b.mean()) / (b.std() + 1e-6)
+    corr = float((a * b).mean())
+    assert corr > 0.7, f"atlas/host correlation too low: {corr}"
