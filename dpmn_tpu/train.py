@@ -86,6 +86,13 @@ class Trainer:
             hr, lr, _, _, label_strs, _ = batch
             hr = jnp.asarray(hr)
             lr = jnp.asarray(lr)
+            if self.args.rotate_test:
+                # quirk parity: eval rotates by the rotate_TRAIN magnitude
+                # (super_resolution.py:360)
+                from .ops.rotate import random_rotate
+
+                self.rng, k = jax.random.split(self.rng)
+                lr, hr = random_rotate(lr, hr, k, self.args.rotate_train)
             sr = self.system.sr_forward(state, lr)
             psnrs.append(float(M.psnr(sr, hr)))
             ssims.append(float(M.ssim(sr, hr)))
@@ -117,6 +124,17 @@ class Trainer:
         val_loaders = self.get_val_loaders()
         state = self.system.init_state(self.rng, batch_size=2)
 
+        # auto-resume (reference --resume / cfg resume, base.py:43)
+        resume_path = self.args.resume or self.cfg.resume
+        if resume_path:
+            from .checkpoint import load_checkpoint
+
+            if os.path.isdir(resume_path):
+                resume_path = os.path.join(resume_path, "checkpoint.msgpack")
+            if os.path.exists(resume_path):
+                state, info = load_checkpoint(resume_path, target=jax.device_get(state))
+                print(f"resumed from {resume_path}: {info}")
+
         best_history_acc = {name: 0.0 for name, _ in val_loaders}
         best_acc = 0.0
         converge_list = []
@@ -126,8 +144,14 @@ class Trainer:
             for j, batch in enumerate(train_loader):
                 hr, _, lr, _, _, _, _, _, _ = batch
                 iters += 1
+                hr, lr = jnp.asarray(hr), jnp.asarray(lr)
+                if self.args.rotate_train:
+                    from .ops.rotate import random_rotate
+
+                    self.rng, k = jax.random.split(self.rng)
+                    lr, hr = random_rotate(lr, hr, k, self.args.rotate_train)
                 self.rng, step_rng = jax.random.split(self.rng)
-                state, m = self.system.train_step(state, jnp.asarray(hr), jnp.asarray(lr), step_rng)
+                state, m = self.system.train_step(state, hr, lr, step_rng)
 
                 if iters % cfg.displayInterval == 0:
                     loss = float(m["loss"])
