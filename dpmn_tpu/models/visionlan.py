@@ -186,6 +186,12 @@ class VisionLAN(nn.Module):
         pp = PPLayer(n_max_character=self.n_max_character, name="pp")
         seq = TransformerEncoderVL(n_layers=3, name="SequenceModeling")
 
+        if train and training_step == "LF_1":
+            # VRM only, no MLM (VisionLAN.py:80-85, Prediction use_mlm=False)
+            enc = seq(tokens, deterministic=not train)
+            g_output, _ = pp(enc)
+            text_pre = pred(g_output)
+            return text_pre, text_pre, text_pre, text_pre
         if train:
             assert label_pos is not None
             f_res, f_sub, mask_c = MLM(name="MLM")(tokens, label_pos, deterministic=not train)
