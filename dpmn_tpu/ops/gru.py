@@ -15,9 +15,14 @@ with gate blocks ordered [r; z; n] in the 3H axis.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# opt-in fused Pallas scan (ops/pallas_kernels.py); benchmark per chip
+USE_PALLAS_GRU = os.environ.get("DPMN_TPU_PALLAS_GRU", "0") == "1"
 
 
 def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: bool) -> jax.Array:
@@ -66,5 +71,10 @@ class BiGRU(nn.Module):
             b_ih = self.param(f"b_ih_{tag}", u_init, (3 * hdim,))
             b_hh = self.param(f"b_hh_{tag}", u_init, (3 * hdim,))
             x_proj = x @ w_ih + b_ih  # one (B*T, I)@(I,3H) MXU matmul
-            outs.append(_gru_scan(x_proj, w_hh, b_hh, reverse))
+            if USE_PALLAS_GRU and not self.is_initializing():
+                from .pallas_kernels import pallas_gru_scan
+
+                outs.append(pallas_gru_scan(x_proj, w_hh, b_hh, reverse))
+            else:
+                outs.append(_gru_scan(x_proj, w_hh, b_hh, reverse))
         return jnp.concatenate(outs, axis=-1)
