@@ -38,7 +38,7 @@ def main():
     from dpmn_tpu.system import DPMNSystem
     from __graft_entry__ import _flagship_args
 
-    batch = 64
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     cfg = TrainCfg(batch_size=batch, width=128, height=32)
     args = _flagship_args()
     system = DPMNSystem(cfg, args, glyph_mode="atlas")

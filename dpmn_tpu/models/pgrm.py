@@ -113,16 +113,25 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden, kernel_init=trunc02)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        dw = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden, kernel_init=xavier)
+        pw = nn.Conv(self.hidden, (1, 1), kernel_init=xavier)
         if self.faithful:
+            # QUIRK (ref :33-38): torch does x.view(B, -1, s, s) directly on
+            # the (B, HW, hidden) buffer — a C-order reinterpretation whose
+            # "channel" axis interleaves tokens and features.  Replicate the
+            # exact view semantics: reshape to (B, hidden, s, s) C-order,
+            # run the conv in NHWC, and view back the same way.
             s = int(math.sqrt(hw))
-            gh, gw = s, s  # sqrt reshape quirk (ref :34)
+            xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
+            xg = nn.gelu(dw(xg), approximate=False)
+            xg = pw(xg)
+            x = xg.transpose(0, 3, 1, 2).reshape(b, hw, self.hidden)
         else:
             gh, gw = self.grid
-        xg = x.reshape(b, gh, gw, self.hidden)
-        xg = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden, kernel_init=xavier)(xg)
-        xg = nn.gelu(xg, approximate=False)
-        xg = nn.Conv(self.hidden, (1, 1), kernel_init=xavier)(xg)
-        x = xg.reshape(b, hw, self.hidden)
+            xg = x.reshape(b, gh, gw, self.hidden)
+            xg = nn.gelu(dw(xg), approximate=False)
+            xg = pw(xg)
+            x = xg.reshape(b, hw, self.hidden)
         x = nn.Dense(self.out, kernel_init=trunc02)(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
 

@@ -122,7 +122,7 @@ def _window_attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     )
 
 
-def pallas_window_attention(q, k, v, bias, mask=None, tile_w: int = 64, interpret: bool = False):
+def pallas_window_attention(q, k, v, bias, mask=None, tile_w: int = 32, interpret: bool = False):
     """q/k/v: (W, N, C) scaled query / key / value windows (W = batch*nW*heads
     folded), bias: (W, N, N) additive relative-position bias (+ shift mask
     pre-added).  Returns (W, N, C)."""
