@@ -75,11 +75,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
-    def evaluate(self, state, loader, max_batches: int = None):
+    def evaluate(self, state, loader, max_batches: int = None, vis_index=None):
         if self.evaluator is None:
             self.evaluator = build_evaluator(self.args.rec, jax.random.PRNGKey(7), voc_type=self.cfg.voc_type)
         n_correct, n_images = 0, 0
         psnrs, ssims = [], []
+        last = None
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
@@ -101,6 +102,17 @@ class Trainer:
                 if pred == str_filt(target, "lower"):
                     n_correct += 1
             n_images += lr.shape[0]
+            last = (lr, sr, hr, pred_sr, label_strs)
+        if vis_index is not None and last is not None:
+            # visualization dump of the last batch (super_resolution.py:505)
+            from .visualize import tripple_display
+
+            lr, sr, hr, pred_sr, label_strs = last
+            pred_lr = self.evaluator.predict(lr)
+            tripple_display(
+                np.asarray(lr), np.asarray(sr), np.asarray(hr), pred_lr, pred_sr,
+                list(label_strs), vis_index, self.args.vis_dir or self.cfg.vis_dir, self.cfg.n_vis,
+            )
         return {
             "accuracy": round(n_correct / max(n_images, 1), 4),
             "psnr_avg": round(float(np.mean(psnrs)), 6),

@@ -1,0 +1,56 @@
+"""Visualization dumps (reference interfaces/base.py:275-326).
+
+tripple_display: save up to n_vis LR(upscaled)/SR/HR triptychs per eval as
+PNG named '<pred_lr>_<pred_sr>_<label>_.png' under vis_dir/<index>/.
+test_display: save only the misrecognized samples under vis_dir/display/.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from .utils.labels import str_filt
+
+
+def _to_u8(img) -> np.ndarray:
+    arr = np.asarray(img)[..., :3]
+    return (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def _triptych(lr, sr, hr) -> Image.Image:
+    h, w = sr.shape[0], sr.shape[1]
+    lr_img = Image.fromarray(_to_u8(lr)).resize((w, h), Image.BICUBIC)
+    canvas = Image.new("RGB", (w, h * 3))
+    canvas.paste(lr_img, (0, 0))
+    canvas.paste(Image.fromarray(_to_u8(sr)), (0, h))
+    canvas.paste(Image.fromarray(_to_u8(hr)), (0, h * 2))
+    return canvas
+
+
+def tripple_display(images_lr, images_sr, images_hr, pred_str_lr, pred_str_sr, label_strs,
+                    index, vis_dir: str, n_vis: int = 10):
+    out_path = os.path.join(vis_dir, str(index))
+    os.makedirs(out_path, exist_ok=True)
+    n = min(len(label_strs), n_vis)
+    for i in range(n):
+        name = f"{pred_str_lr[i]}_{pred_str_sr[i]}_{label_strs[i]}_.png".replace("/", "")
+        _triptych(images_lr[i], images_sr[i], images_hr[i]).save(os.path.join(out_path, name))
+    return n
+
+
+def test_display(images_lr, images_sr, images_hr, pred_str_lr, pred_str_sr, label_strs, vis_dir: str):
+    out_root = os.path.join(vis_dir, "display")
+    os.makedirs(out_root, exist_ok=True)
+    visualized = 0
+    for i in range(len(label_strs)):
+        if str_filt(pred_str_sr[i], "lower") != str_filt(label_strs[i], "lower"):
+            visualized += 1
+            name = (
+                f"{str_filt(pred_str_lr[i], 'lower')}_{str_filt(pred_str_sr[i], 'lower')}_"
+                f"{str_filt(label_strs[i], 'lower')}_.png"
+            ).replace("/", "")
+            _triptych(images_lr[i], images_sr[i], images_hr[i]).save(os.path.join(out_root, name))
+    return visualized
