@@ -65,8 +65,8 @@ def resize(x: jax.Array, size, mode: str = "bicubic", align_corners: bool = Fals
     """Resize NHWC images to `size` = (H_out, W_out) with torch semantics."""
     h_out, w_out = size
     _, h_in, w_in, _ = x.shape
-    my = jnp.asarray(resize_matrix(h_in, h_out, mode, align_corners))
-    mx = jnp.asarray(resize_matrix(w_in, w_out, mode, align_corners))
+    my = jnp.asarray(resize_matrix(h_in, h_out, mode, align_corners), x.dtype)
+    mx = jnp.asarray(resize_matrix(w_in, w_out, mode, align_corners), x.dtype)
     # (B,H,W,C) -> (B,Ho,W,C) -> (B,Ho,Wo,C)
     x = jnp.einsum("oh,bhwc->bowc", my, x)
     x = jnp.einsum("ow,bhwc->bhoc", mx, x)

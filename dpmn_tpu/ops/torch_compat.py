@@ -29,7 +29,7 @@ def conv_transpose_2d(
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad_h = dilation[0] * (kh - 1) - padding[0]
     pad_w = dilation[1] * (kw - 1) - padding[1]
-    flipped = kernel[::-1, ::-1]  # flip spatial dims: transpose conv = conv with flipped kernel
+    flipped = kernel[::-1, ::-1].astype(x.dtype)  # flip spatial dims: transpose conv = conv with flipped kernel
     return jax.lax.conv_general_dilated(
         x,
         flipped,

@@ -165,6 +165,10 @@ class DPMNSystem:
             self._train_step_impl, donate_argnums=(0,) if self.donate_state else ()
         )
         self.sr_forward = jax.jit(self._sr_forward_impl)
+        # bf16 fast-eval: params and activations in bfloat16 (MXU native),
+        # output recast to f32.  Trades ~1e-2 PSNR-scale numerics for ~2x
+        # HBM-bandwidth relief — a serving mode, not the parity path.
+        self.sr_forward_bf16 = jax.jit(self._sr_forward_bf16_impl)
 
     # ------------------------------------------------------------------ init
 
@@ -313,7 +317,7 @@ class DPMNSystem:
         cascade = images_lr_psn
         b2_list = []
         for k in range(self.b1, self.b1 + self.b2):
-            x_q = jax.lax.stop_gradient(to_mask(cascade))
+            x_q = jax.lax.stop_gradient(to_mask(cascade).astype(cascade.dtype))
             sr = apply_pgrm(k, x_q, cascade[..., :3], b2_list[: (k - self.b2)])
             b2_list.append(sr)
             cascade = sr
@@ -386,3 +390,11 @@ class DPMNSystem:
         )
         alpha = self.args.alpha
         return alpha * sr + (1 - alpha) * images_lr_psn[..., :3]
+
+    def _sr_forward_bf16_impl(self, state, images_lr):
+        def to_bf16(t):
+            return t.astype(jnp.bfloat16) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+
+        state16 = jax.tree_util.tree_map(to_bf16, state)
+        out = self._sr_forward_impl(state16, images_lr.astype(jnp.bfloat16))
+        return out.astype(jnp.float32)

@@ -1,0 +1,37 @@
+"""Prefetch iterator + bf16 fast-eval tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpmn_tpu.data.prefetch import prefetch_to_device
+
+
+def test_prefetch_yields_all_batches():
+    batches = [(np.ones((2, 4), np.float32) * i, f"label{i}") for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (arr, lab) in enumerate(out):
+        assert float(arr[0, 0]) == i
+        assert lab == f"label{i}"
+
+
+def test_bf16_eval_close_to_f32():
+    from dpmn_tpu.config import Args, TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch="tsrn", mask=True, stu_iter_b1=1, stu_iter_b2=1,
+        patch_size="2,", embed_dim="24,", window_size="2,4,8,", num_heads="6,",
+        srb=1, hd_u=4,
+    )
+    system = DPMNSystem(cfg, args, glyph_mode="zeros")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(0).rand(2, 16, 64, 4), jnp.float32)
+    a = np.asarray(system.sr_forward(state, lr))
+    b = np.asarray(system.sr_forward_bf16(state, lr))
+    assert b.dtype == np.float32
+    assert np.isfinite(b).all()
+    # bf16 drift stays small on [0,1]-scale images
+    assert np.abs(a - b).mean() < 0.05
