@@ -164,7 +164,7 @@ class DPMNSystem:
         self.train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0,) if self.donate_state else ()
         )
-        self.sr_forward = jax.jit(self._sr_forward_impl)
+        self.sr_forward = jax.jit(self._sr_forward_impl, static_argnums=(2,))
         # bf16 fast-eval: params and activations in bfloat16 (MXU native),
         # output recast to f32.  Trades ~1e-2 PSNR-scale numerics for ~2x
         # HBM-bandwidth relief — a serving mode, not the parity path.
@@ -279,7 +279,8 @@ class DPMNSystem:
         glyphs = jax.pure_callback(host_render, out_shape, preds, lengths)
         return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
 
-    def _cascade(self, params, batch_stats, frozen, images_lr_psn, images_hr, train, rngs):
+    def _cascade(self, params, batch_stats, frozen, images_lr_psn, images_hr, train, rngs,
+                 glyph_from_psn: bool = False):
         """Dual-branch PGRM cascade + distill + CMM. Returns (loss, sr, new_bs)."""
         a = self.args
         new_bs = dict(batch_stats)
@@ -307,7 +308,9 @@ class DPMNSystem:
         cascade = images_lr_psn
         b1_list = []
         for k in range(self.b1):
-            x_q = self._glyph_prior(frozen, k, cascade)
+            # test() quirk: students read images_lr_psn every iteration
+            # instead of the cascade (super_resolution.py:648)
+            x_q = self._glyph_prior(frozen, k, images_lr_psn if glyph_from_psn else cascade)
             sr = apply_pgrm(k, x_q, cascade[..., :3], b1_list[:k])
             b1_list.append(sr)
             cascade = sr
@@ -380,13 +383,15 @@ class DPMNSystem:
         }
         return new_state, {"loss": loss}
 
-    def _sr_forward_impl(self, state, images_lr):
-        """Eval-mode PSN + cascade + CMM + α-blend (super_resolution.py:385-449)."""
+    def _sr_forward_impl(self, state, images_lr, glyph_from_psn: bool = False):
+        """Eval-mode PSN + cascade + CMM + α-blend (super_resolution.py:385-449).
+        glyph_from_psn reproduces the test() path (super_resolution.py:648)."""
         frozen = state["frozen"]
         images_lr_psn = self._psn_forward(frozen, images_lr)
         _, sr, _ = self._cascade(
             state["params"], state["batch_stats"], frozen, images_lr_psn,
             jnp.zeros_like(images_lr_psn[..., :3]), False, None,
+            glyph_from_psn=glyph_from_psn,
         )
         alpha = self.args.alpha
         return alpha * sr + (1 - alpha) * images_lr_psn[..., :3]

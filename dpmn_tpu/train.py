@@ -75,7 +75,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
-    def evaluate(self, state, loader, max_batches: int = None, vis_index=None):
+    def evaluate(self, state, loader, max_batches: int = None, vis_index=None, test_mode: bool = False):
         if self.evaluator is None:
             self.evaluator = build_evaluator(self.args.rec, jax.random.PRNGKey(7), voc_type=self.cfg.voc_type)
         n_correct, n_images = 0, 0
@@ -94,7 +94,7 @@ class Trainer:
 
                 self.rng, k = jax.random.split(self.rng)
                 lr, hr = random_rotate(lr, hr, k, self.args.rotate_train)
-            sr = self.system.sr_forward(state, lr)
+            sr = self.system.sr_forward(state, lr, test_mode)
             psnrs.append(float(M.psnr(sr, hr)))
             ssims.append(float(M.ssim(sr, hr)))
             pred_sr = self.evaluator.predict(sr)
@@ -232,7 +232,7 @@ class Trainer:
         loader = DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False)
         data_name = (self.args.test_data_dir or "synthetic").rstrip("/").split("/")[-1]
         t0 = time.time()
-        md = self.evaluate(state, loader, max_batches=max_batches)
+        md = self.evaluate(state, loader, max_batches=max_batches, test_mode=True)
         duration = (time.time() - t0) / max(md["images"], 1)
         result = {
             "accuracy": {data_name: md["accuracy"]},
