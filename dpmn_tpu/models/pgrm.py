@@ -373,6 +373,11 @@ class PGRM(nn.Module):
     iter: int = 0  # cascade position → number of residual weights = iter+1
     graphic_mode: bool = False  # reference `mode=False` branch has prior_fusion
     hidden_size: int = 3
+    # drop-path schedule context (ref :499,512): the linspace spans
+    # sum(depths)*2 positions across ALL cascade iterations; this module's
+    # layers take the slice starting at depths_before*2.
+    depths_total: int = 0  # 0 → fall back to num_layers (single-module use)
+    depths_before: int = 0
     patch_norm: bool = True
     ape: bool = False
     faithful: bool = True
@@ -410,9 +415,11 @@ class PGRM(nn.Module):
         x_q = pos_drop(x_q, deterministic=deterministic)
         x_kv = pos_drop(x_kv, deterministic=deterministic)
 
-        # drop-path schedule: linspace over sum(depths)*2 then per-layer pairs
-        # (ref :499-512); with one layer of depth 2 this is (0, rate).
-        dpr = np.linspace(0.0, self.drop_path_rate, self.num_layers * 2)
+        # drop-path schedule: linspace over sum(depths)*2 positions sliced at
+        # this module's offset (ref :499-512)
+        total = self.depths_total or self.num_layers
+        dpr_all = np.linspace(0.0, self.drop_path_rate, total * 2)
+        dpr = dpr_all[self.depths_before * 2 : (self.depths_before + self.num_layers) * 2]
         for i_layer in range(self.num_layers):
             x_q, x_kv = BasicLayer(
                 dim=int(self.embed_dim * 2**i_layer),

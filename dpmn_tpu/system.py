@@ -93,7 +93,10 @@ class DPMNSystem:
 
         def make_pgrm(iter_: int, graphic: bool) -> PGRM:
             i = min(iter_, len(hp.depths) - 1) if len(hp.depths) == 1 else iter_
+            depths_clamped = [hp.depths[min(j, len(hp.depths) - 1)] for j in range(iter_ + 1)]
             return PGRM(
+                depths_total=sum(hp.depths),
+                depths_before=sum(depths_clamped[:-1]),
                 img_size=img_size,
                 patch_size=hp.patch_size[min(i, len(hp.patch_size) - 1)],
                 embed_dim=hp.embed_dim[min(i, len(hp.embed_dim) - 1)],
