@@ -157,10 +157,12 @@ class DPMNSystem:
 
             self._device_glyph = make_device_glyph_fn(self.hr_shape, self.args.font_path)
 
-        self._adam = optax.chain(
-            per_module_clip(0.25),
-            optax.adam(self.cfg.lr, b1=self.cfg.beta1, b2=0.999, eps=1e-8),
-        )
+        # Adam/AdamW selection (interfaces/base.py:220-271, beta1 from yaml)
+        if self.cfg.optimizer == "AdamW":
+            opt = optax.adamw(self.cfg.lr, b1=self.cfg.beta1, b2=0.999, eps=1e-8, weight_decay=0.01)
+        else:
+            opt = optax.adam(self.cfg.lr, b1=self.cfg.beta1, b2=0.999, eps=1e-8)
+        self._adam = optax.chain(per_module_clip(0.25), opt)
         # jitted entry points (self is captured by closure, not traced);
         # donate_state=True lets XLA reuse the old state buffers in-place —
         # enable it in the real training loop, keep off when state is reused.
