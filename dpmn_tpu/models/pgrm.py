@@ -418,8 +418,11 @@ class PGRM(nn.Module):
         # drop-path schedule: linspace over sum(depths)*2 positions sliced at
         # this module's offset (ref :499-512)
         total = self.depths_total or self.num_layers
-        dpr_all = np.linspace(0.0, self.drop_path_rate, total * 2)
-        dpr = dpr_all[self.depths_before * 2 : (self.depths_before + self.num_layers) * 2]
+        # clamp so short hparam lists don't produce an empty slice (the
+        # reference IndexErrors in that case; users pass per-iter lists)
+        before = min(self.depths_before, max(total - self.num_layers, 0))
+        dpr_all = np.linspace(0.0, self.drop_path_rate, max(total, self.num_layers) * 2)
+        dpr = dpr_all[before * 2 : (before + self.num_layers) * 2]
         for i_layer in range(self.num_layers):
             x_q, x_kv = BasicLayer(
                 dim=int(self.embed_dim * 2**i_layer),
