@@ -40,7 +40,7 @@ def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: bool
 
     h0 = jnp.zeros((bsz, hdim), x_proj.dtype)
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H)
-    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=4)
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=1)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 

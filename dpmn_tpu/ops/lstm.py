@@ -33,7 +33,7 @@ def _lstm_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: boo
 
     init = (jnp.zeros((bsz, hdim), x_proj.dtype), jnp.zeros((bsz, hdim), x_proj.dtype))
     xs = jnp.swapaxes(x_proj, 0, 1)
-    _, ys = jax.lax.scan(step, init, xs, reverse=reverse, unroll=4)
+    _, ys = jax.lax.scan(step, init, xs, reverse=reverse, unroll=1)
     return jnp.swapaxes(ys, 0, 1)
 
 
