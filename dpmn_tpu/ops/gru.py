@@ -64,17 +64,42 @@ class BiGRU(nn.Module):
         def u_init(key, shape, dtype=jnp.float32):
             return init(key, shape, dtype) - k
 
-        outs = []
-        for tag, reverse in (("fw", False), ("bw", True)):
-            w_ih = self.param(f"w_ih_{tag}", u_init, (in_dim, 3 * hdim))
-            w_hh = self.param(f"w_hh_{tag}", u_init, (hdim, 3 * hdim))
-            b_ih = self.param(f"b_ih_{tag}", u_init, (3 * hdim,))
-            b_hh = self.param(f"b_hh_{tag}", u_init, (3 * hdim,))
-            x_proj = x @ w_ih + b_ih  # one (B*T, I)@(I,3H) MXU matmul
-            if USE_PALLAS_GRU and not self.is_initializing():
-                from .pallas_kernels import pallas_gru_scan
+        params = {}
+        for tag in ("fw", "bw"):
+            params[tag] = (
+                self.param(f"w_ih_{tag}", u_init, (in_dim, 3 * hdim)),
+                self.param(f"w_hh_{tag}", u_init, (hdim, 3 * hdim)),
+                self.param(f"b_ih_{tag}", u_init, (3 * hdim,)),
+                self.param(f"b_hh_{tag}", u_init, (3 * hdim,)),
+            )
+        if USE_PALLAS_GRU and not self.is_initializing():
+            from .pallas_kernels import pallas_gru_scan
 
-                outs.append(pallas_gru_scan(x_proj, w_hh, b_hh, reverse))
-            else:
-                outs.append(_gru_scan(x_proj, w_hh, b_hh, reverse))
-        return jnp.concatenate(outs, axis=-1)
+            outs = []
+            for tag, reverse in (("fw", False), ("bw", True)):
+                w_ih, w_hh, b_ih, b_hh = params[tag]
+                outs.append(pallas_gru_scan(x @ w_ih + b_ih, w_hh, b_hh, reverse))
+            return jnp.concatenate(outs, axis=-1)
+
+        # fused bidirectional scan: both directions run as one lax.scan (the
+        # backward stream is time-flipped), halving sequential scan count —
+        # the SRB latency bottleneck on TPU
+        xp_f = x @ params["fw"][0] + params["fw"][2]  # (B, T, 3H)
+        xp_b = (x @ params["bw"][0] + params["bw"][2])[:, ::-1]
+        xs = jnp.stack([jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1)], axis=1)  # (T, 2, B, 3H)
+        w_hh = jnp.stack([params["fw"][1], params["bw"][1]])  # (2, H, 3H)
+        b_hh = jnp.stack([params["fw"][3], params["bw"][3]])[:, None, :]  # (2, 1, 3H)
+
+        def step(h, gi):
+            gh = jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh
+            r = jax.nn.sigmoid(gi[..., :hdim] + gh[..., :hdim])
+            z = jax.nn.sigmoid(gi[..., hdim : 2 * hdim] + gh[..., hdim : 2 * hdim])
+            n = jnp.tanh(gi[..., 2 * hdim :] + r * gh[..., 2 * hdim :])
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((2, x.shape[0], hdim), x.dtype)
+        _, ys = jax.lax.scan(step, h0, xs, unroll=1)  # (T, 2, B, H)
+        fw = jnp.swapaxes(ys[:, 0], 0, 1)
+        bw = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1]
+        return jnp.concatenate([fw, bw], axis=-1)

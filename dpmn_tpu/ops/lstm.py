@@ -51,14 +51,38 @@ class BiLSTM(nn.Module):
         def u_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -k, k)
 
-        outs = []
-        for tag, reverse in (("fw", False), ("bw", True)):
-            w_ih = self.param(f"w_ih_{tag}", u_init, (in_dim, 4 * hdim))
-            w_hh = self.param(f"w_hh_{tag}", u_init, (hdim, 4 * hdim))
-            b_ih = self.param(f"b_ih_{tag}", u_init, (4 * hdim,))
-            b_hh = self.param(f"b_hh_{tag}", u_init, (4 * hdim,))
-            outs.append(_lstm_scan(x @ w_ih + b_ih, w_hh, b_hh, reverse))
-        return jnp.concatenate(outs, axis=-1)
+        params = {}
+        for tag in ("fw", "bw"):
+            params[tag] = (
+                self.param(f"w_ih_{tag}", u_init, (in_dim, 4 * hdim)),
+                self.param(f"w_hh_{tag}", u_init, (hdim, 4 * hdim)),
+                self.param(f"b_ih_{tag}", u_init, (4 * hdim,)),
+                self.param(f"b_hh_{tag}", u_init, (4 * hdim,)),
+            )
+        # fused bidirectional scan (backward stream time-flipped): one
+        # lax.scan instead of two — see ops/gru.py
+        xp_f = x @ params["fw"][0] + params["fw"][2]
+        xp_b = (x @ params["bw"][0] + params["bw"][2])[:, ::-1]
+        xs = jnp.stack([jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1)], axis=1)  # (T, 2, B, 4H)
+        w_hh = jnp.stack([params["fw"][1], params["bw"][1]])
+        b_hh = jnp.stack([params["fw"][3], params["bw"][3]])[:, None, :]
+
+        def step(carry, gi):
+            h, c = carry
+            g = gi + jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh
+            i = jax.nn.sigmoid(g[..., :hdim])
+            f = jax.nn.sigmoid(g[..., hdim : 2 * hdim])
+            gg = jnp.tanh(g[..., 2 * hdim : 3 * hdim])
+            o = jax.nn.sigmoid(g[..., 3 * hdim :])
+            c = f * c + i * gg
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        z = jnp.zeros((2, x.shape[0], hdim), x.dtype)
+        _, ys = jax.lax.scan(step, (z, z), xs, unroll=1)
+        fw = jnp.swapaxes(ys[:, 0], 0, 1)
+        bw = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1]
+        return jnp.concatenate([fw, bw], axis=-1)
 
 
 class GRUCellTorch(nn.Module):
