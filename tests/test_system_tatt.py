@@ -62,3 +62,33 @@ def test_sr_share_uses_single_model():
     lr = jnp.asarray(np.random.RandomState(1).rand(2, 16, 64, 4), jnp.float32)
     sr = system.sr_forward(state, lr)
     assert sr.shape == (2, 32, 128, 3)
+
+
+def test_tpgsr_system_smoke():
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch="tpgsr", mask=True, stu_iter_b1=1, stu_iter_b2=1,
+        patch_size="2,", embed_dim="24,", window_size="2,4,8,", num_heads="6,",
+        srb=1, hd_u=4,
+    )
+    system = DPMNSystem(cfg, args, glyph_mode="zeros")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    assert "crnn_psn" in state["frozen"]  # text-prior PSN needs the frozen CRNN
+    lr = jnp.asarray(np.random.RandomState(2).rand(2, 16, 64, 4), jnp.float32)
+    sr = system.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_tbsrn_system_smoke():
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch="tbsrn", mask=False, stu_iter_b1=1, stu_iter_b2=1,
+        patch_size="2,", embed_dim="24,", window_size="2,4,8,", num_heads="6,",
+        srb=1, hd_u=32,
+    )
+    system = DPMNSystem(cfg, args, glyph_mode="zeros")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(3).rand(2, 16, 64, 3), jnp.float32)
+    sr = system.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
