@@ -152,8 +152,10 @@ class Trainer:
         converge_list = []
         iters = 0
         start = time.time()
+        from .data.prefetch import prefetch_to_device
+
         for epoch in range(cfg.epochs):
-            for j, batch in enumerate(train_loader):
+            for j, batch in enumerate(prefetch_to_device(iter(train_loader), size=2)):
                 hr, _, lr, _, _, _, _, _, _ = batch
                 iters += 1
                 hr, lr = jnp.asarray(hr), jnp.asarray(lr)
