@@ -17,3 +17,18 @@ Conventions (TPU-first, deliberately different from the torch reference):
 """
 
 __version__ = "0.1.0"
+
+from .config import Args, TrainCfg, load_train_cfg, parse_pgrm_hparams  # noqa: E402
+from .losses import image_loss, gradient_prior_loss  # noqa: E402
+
+
+def system(*args, **kwargs):
+    from .system import DPMNSystem
+
+    return DPMNSystem(*args, **kwargs)
+
+
+def trainer(*args, **kwargs):
+    from .train import Trainer
+
+    return Trainer(*args, **kwargs)

@@ -61,3 +61,13 @@ def test_train_eval_checkpoint_cycle(tmp_path):
     assert rows[0] == ["recognizer", "subset", "accuracy", "psnr", "ssim"]
     assert len(rows) == 2
     assert 0.0 <= result["psnr_avg"]
+
+
+def test_eval_with_aster_recognizer(tmp_path):
+    """Eval path with the ASTER beam-search judge (reference --rec aster)."""
+    trainer = make_trainer(tmp_path, rec="aster")
+    state = trainer.system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    name, loader = trainer.get_val_loaders()[0]
+    md = trainer.evaluate(state, loader, max_batches=1)
+    assert 0.0 <= md["accuracy"] <= 1.0
+    assert md["images"] == 2
