@@ -89,6 +89,7 @@ class Args:
     synthetic_data: bool = False  # use the procedural dataset
     faithful: bool = True  # reproduce reference layout quirks bit-for-bit
     data_parallel: int = 0  # 0 = all local devices
+    debug_nans: bool = False  # jax nan-checking (SURVEY §5 sanitizers)
 
 
 @dataclass
@@ -180,6 +181,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", action="store_true", default=False)
     p.add_argument("--corrected", action="store_true", default=False, help="disable faithful quirks")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--debug_nans", action="store_true", default=False)
     return p
 
 

@@ -38,6 +38,8 @@ class Trainer:
     def __init__(self, cfg: TrainCfg, args: Args, glyph_mode: str = "callback"):
         self.cfg = cfg
         self.args = args
+        if getattr(args, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
         self.system = DPMNSystem(cfg, args, glyph_mode=glyph_mode)
         self.batch_size = args.batch_size or cfg.batch_size
         self.rng = set_seed(cfg.manualSeed)
