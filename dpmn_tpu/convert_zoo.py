@@ -287,8 +287,10 @@ def convert_pgrm(sd, num_layers: int = 1, window_num: int = 3, graphic_mode: boo
             blk["Mlp_0"] = {
                 "Dense_0": _dense(sd, f"{t}.mlp.fc1"),
                 "Dense_1": _dense(sd, f"{t}.mlp.fc2"),
-                "Conv_0": _conv(sd, f"{t}.mlp.depthwise_conv"),
-                "Conv_1": _conv(sd, f"{t}.mlp.pointwise_conv"),
+                "dw_kernel": t_conv(sd[f"{t}.mlp.depthwise_conv.weight"]),
+                "dw_bias": sd[f"{t}.mlp.depthwise_conv.bias"],
+                "pw_kernel": t_conv(sd[f"{t}.mlp.pointwise_conv.weight"]),
+                "pw_bias": sd[f"{t}.mlp.pointwise_conv.bias"],
             }
             layer[f"SwinTransformerBlock_{b}"] = blk
         p[f"BasicLayer_{l}"] = layer

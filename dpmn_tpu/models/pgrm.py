@@ -113,24 +113,39 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden, kernel_init=trunc02)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        dw = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden, kernel_init=xavier)
-        pw = nn.Conv(self.hidden, (1, 1), kernel_init=xavier)
+        # conv params in nn.Conv layout (HWIO); applied via lax so the
+        # faithful path can use NCHW dimension numbers without transposes
+        dw_kernel = self.param("dw_kernel", xavier, (3, 3, 1, self.hidden))
+        dw_bias = self.param("dw_bias", nn.initializers.zeros, (self.hidden,))
+        pw_kernel = self.param("pw_kernel", xavier, (1, 1, self.hidden, self.hidden))
+        pw_bias = self.param("pw_bias", nn.initializers.zeros, (self.hidden,))
+
+        def convs(t, dn):
+            c_axis = 1 if dn == "NCHW" else 3
+            bshape = [1, 1, 1, 1]
+            bshape[c_axis] = self.hidden
+            t = jax.lax.conv_general_dilated(
+                t, dw_kernel, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=(dn, "HWIO", dn), feature_group_count=self.hidden,
+            ) + dw_bias.reshape(bshape)
+            t = nn.gelu(t, approximate=False)
+            t = jax.lax.conv_general_dilated(
+                t, pw_kernel, (1, 1), [(0, 0), (0, 0)], dimension_numbers=(dn, "HWIO", dn)
+            ) + pw_bias.reshape(bshape)
+            return t
+
         if self.faithful:
             # QUIRK (ref :33-38): torch does x.view(B, -1, s, s) directly on
             # the (B, HW, hidden) buffer — a C-order reinterpretation whose
-            # "channel" axis interleaves tokens and features.  Replicate the
-            # exact view semantics: reshape to (B, hidden, s, s) C-order,
-            # run the conv in NHWC, and view back the same way.
+            # "channel" axis interleaves tokens and features.  The reshape is
+            # free in C-order and the convs run in NCHW, so no transpose
+            # copies of the big activation are materialized.
             s = int(math.sqrt(hw))
-            xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
-            xg = nn.gelu(dw(xg), approximate=False)
-            xg = pw(xg)
-            x = xg.transpose(0, 3, 1, 2).reshape(b, hw, self.hidden)
+            xg = convs(x.reshape(b, self.hidden, s, s), "NCHW")
+            x = xg.reshape(b, hw, self.hidden)
         else:
             gh, gw = self.grid
-            xg = x.reshape(b, gh, gw, self.hidden)
-            xg = nn.gelu(dw(xg), approximate=False)
-            xg = pw(xg)
+            xg = convs(x.reshape(b, gh, gw, self.hidden), "NHWC")
             x = xg.reshape(b, hw, self.hidden)
         x = nn.Dense(self.out, kernel_init=trunc02)(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
