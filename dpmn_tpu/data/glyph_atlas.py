@@ -112,20 +112,14 @@ def build_atlas(shape=(32, 128), font_path: str = None):
     # identity-ish fallback for degenerate bands
     row_bank[0] = np.pad(resize_matrix(CELL, h, "bicubic", False), ((0, 0), (0, 0)))
 
-    # column resize as 4-tap gathers: bicubic has ≤4 taps per output column
-    # (border clipping only merges adjacent taps).  Storing (idx, weight)
-    # tables instead of dense (L*CELL, W) matrices avoids materializing a
-    # 26 MB per-sample matrix batch on device.
-    col_idx = np.zeros((MAX_LEN, w, 4), np.int32)
-    col_w = np.zeros((MAX_LEN, w, 4), np.float32)
+    # dense per-length column matrices: the (B, L*CELL, W) gather + batched
+    # matmul is MXU work and measures ~1.8x faster end-to-end than a 4-tap
+    # take_along_axis formulation (XLA gathers are slow on TPU)
+    rcols = np.zeros((MAX_LEN, MAX_LEN * CELL, w), np.float32)
     for l in range(1, MAX_LEN + 1):
         m = resize_matrix(l * CELL, w, "bicubic", False)  # (w, l*CELL)
-        for j in range(w):
-            nz = np.nonzero(m[j])[0]
-            assert len(nz) <= 4, (l, j, len(nz))
-            col_idx[l - 1, j, : len(nz)] = nz
-            col_w[l - 1, j, : len(nz)] = m[j, nz]
-    return atlas, tops, bots, row_bank, (col_idx, col_w)
+        rcols[l - 1, : l * CELL, :] = m.T
+    return atlas, tops, bots, row_bank, rcols
 
 
 def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
@@ -133,14 +127,12 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
     int32) → (B, H, W, 2) float32 glyph priors at uint8 value scale."""
     import jax.numpy as jnp
 
-    atlas_np, tops_np, bots_np, row_bank_np, (col_idx_np, col_w_np) = build_atlas(tuple(shape), font_path)
+    atlas_np, tops_np, bots_np, row_bank_np, rcols_np = build_atlas(tuple(shape), font_path)
     atlas = jnp.asarray(atlas_np)
     tops = jnp.asarray(tops_np)
     bots = jnp.asarray(bots_np)
     row_bank = jnp.asarray(row_bank_np)
-    col_idx = jnp.asarray(col_idx_np)  # (L, W, 4)
-    col_w = jnp.asarray(col_w_np)  # (L, W, 4)
-    w_out = shape[1]
+    rcols = jnp.asarray(rcols_np)
 
     def glyph_fn(char_ids, lengths):
         b = char_ids.shape[0]
@@ -150,8 +142,7 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
         ids = jnp.where(active, char_ids, 0)
         ids = jnp.clip(ids, 0, atlas.shape[1] - 1)
 
-        cidx = col_idx[lengths_c - 1].reshape(b, 1, w_out * 4)  # (B, 1, W*4)
-        cw = col_w[lengths_c - 1]  # (B, W, 4)
+        rcol_sel = rcols[lengths_c - 1]  # (B, 25*CELL, W)
         outs = []
         for case in (0, 1):
             cells = atlas[case][ids]  # (B, 25, CELL, CELL)
@@ -161,10 +152,7 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
             valid = bot > top
             idx = jnp.where(valid, top * (CELL + 1) + bot, 0)
             rrow_sel = row_bank[idx]  # (B, H, CELL)
-            rows = jnp.einsum("brh,bhw->brw", rrow_sel, strip)  # (B, H, 25*CELL)
-            taps = jnp.take_along_axis(rows, jnp.broadcast_to(cidx, (b, rows.shape[1], w_out * 4)), axis=2)
-            taps = taps.reshape(b, rows.shape[1], w_out, 4)
-            canvas = jnp.einsum("brwt,bwt->brw", taps, cw)
+            canvas = jnp.einsum("brh,bhw,bwc->brc", rrow_sel, strip, rcol_sel)
             canvas = jnp.where((valid & (lengths > 0))[:, None, None], canvas, 0.0)
             outs.append(canvas)
         return jnp.stack(outs, axis=-1)  # (B, H, W, 2)
