@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 # opt-in fused Pallas scan (ops/pallas_kernels.py); benchmark per chip
 USE_PALLAS_GRU = os.environ.get("DPMN_TPU_PALLAS_GRU", "0") == "1"
+# fusing both directions into one scan measured ~10% slower end-to-end on
+# v5e (extra stacking copies of the input projections) — keep opt-in
+USE_FUSED_BIDIR = os.environ.get("DPMN_TPU_FUSED_BIDIR", "0") == "1"
 
 
 def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: bool) -> jax.Array:
@@ -40,7 +43,7 @@ def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: bool
 
     h0 = jnp.zeros((bsz, hdim), x_proj.dtype)
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H)
-    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=1)
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=4)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
@@ -81,9 +84,15 @@ class BiGRU(nn.Module):
                 outs.append(pallas_gru_scan(x @ w_ih + b_ih, w_hh, b_hh, reverse))
             return jnp.concatenate(outs, axis=-1)
 
+        if not USE_FUSED_BIDIR:
+            outs = []
+            for tag, reverse in (("fw", False), ("bw", True)):
+                w_ih, w_hh, b_ih, b_hh = params[tag]
+                outs.append(_gru_scan(x @ w_ih + b_ih, w_hh, b_hh, reverse))
+            return jnp.concatenate(outs, axis=-1)
+
         # fused bidirectional scan: both directions run as one lax.scan (the
-        # backward stream is time-flipped), halving sequential scan count —
-        # the SRB latency bottleneck on TPU
+        # backward stream is time-flipped), halving sequential scan count
         xp_f = x @ params["fw"][0] + params["fw"][2]  # (B, T, 3H)
         xp_b = (x @ params["bw"][0] + params["bw"][2])[:, ::-1]
         xs = jnp.stack([jnp.swapaxes(xp_f, 0, 1), jnp.swapaxes(xp_b, 0, 1)], axis=1)  # (T, 2, B, 3H)
@@ -99,7 +108,7 @@ class BiGRU(nn.Module):
             return h, h
 
         h0 = jnp.zeros((2, x.shape[0], hdim), x.dtype)
-        _, ys = jax.lax.scan(step, h0, xs, unroll=1)  # (T, 2, B, H)
+        _, ys = jax.lax.scan(step, h0, xs, unroll=4)  # (T, 2, B, H)
         fw = jnp.swapaxes(ys[:, 0], 0, 1)
         bw = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1]
         return jnp.concatenate([fw, bw], axis=-1)

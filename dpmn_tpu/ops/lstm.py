@@ -33,7 +33,7 @@ def _lstm_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array, reverse: boo
 
     init = (jnp.zeros((bsz, hdim), x_proj.dtype), jnp.zeros((bsz, hdim), x_proj.dtype))
     xs = jnp.swapaxes(x_proj, 0, 1)
-    _, ys = jax.lax.scan(step, init, xs, reverse=reverse, unroll=1)
+    _, ys = jax.lax.scan(step, init, xs, reverse=reverse, unroll=4)
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -59,6 +59,15 @@ class BiLSTM(nn.Module):
                 self.param(f"b_ih_{tag}", u_init, (4 * hdim,)),
                 self.param(f"b_hh_{tag}", u_init, (4 * hdim,)),
             )
+        from .gru import USE_FUSED_BIDIR
+
+        if not USE_FUSED_BIDIR:
+            outs = []
+            for tag, reverse in (("fw", False), ("bw", True)):
+                w_ih, w_hh, b_ih, b_hh = params[tag]
+                outs.append(_lstm_scan(x @ w_ih + b_ih, w_hh, b_hh, reverse))
+            return jnp.concatenate(outs, axis=-1)
+
         # fused bidirectional scan (backward stream time-flipped): one
         # lax.scan instead of two — see ops/gru.py
         xp_f = x @ params["fw"][0] + params["fw"][2]
@@ -79,7 +88,7 @@ class BiLSTM(nn.Module):
             return (h, c), h
 
         z = jnp.zeros((2, x.shape[0], hdim), x.dtype)
-        _, ys = jax.lax.scan(step, (z, z), xs, unroll=1)
+        _, ys = jax.lax.scan(step, (z, z), xs, unroll=4)
         fw = jnp.swapaxes(ys[:, 0], 0, 1)
         bw = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1]
         return jnp.concatenate([fw, bw], axis=-1)
