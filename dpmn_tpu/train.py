@@ -192,7 +192,7 @@ class Trainer:
                             save_checkpoint(
                                 os.path.join(cfg.ckpt_dir, f"model_best_{name}.msgpack"),
                                 state,
-                                {"epoch": epoch, "iters": iters, **md},
+                                {"epoch": epoch, "iters": iters, **md, "converge": converge_list},
                             )
                         with open(log_path, "a", newline="") as out:
                             row = [epoch, name, md["accuracy"], md["psnr_avg"], md["ssim_avg"]]
@@ -211,7 +211,7 @@ class Trainer:
                     save_checkpoint(
                         os.path.join(cfg.ckpt_dir, "checkpoint.msgpack"),
                         state,
-                        {"epoch": epoch, "iters": iters},
+                        {"epoch": epoch, "iters": iters, "converge": converge_list},
                     )
                 if max_iters is not None and iters >= max_iters:
                     return state
