@@ -142,8 +142,9 @@ class Mlp(nn.Module):
             # the semantically-exact variants end-to-end: NCHW conv 502,
             # transpose+NHWC ~, 9-tap shifted-add 423 images/sec).
             s = int(math.sqrt(hw))
-            xg = convs(x.reshape(b, self.hidden, s, s), "NCHW")
-            x = xg.reshape(b, hw, self.hidden)
+            xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
+            xg = convs(xg, "NHWC")
+            x = xg.transpose(0, 3, 1, 2).reshape(b, hw, self.hidden)
         else:
             gh, gw = self.grid
             xg = convs(x.reshape(b, gh, gw, self.hidden), "NHWC")
