@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .convert import _bigru, _bilstm, _bn, _conv, _dense, t_conv, t_convT, t_lin
+from .convert import _bilstm, _bn, _conv, _dense, t_conv, t_convT, t_lin
 
 
 def _grucell(sd, prefix):

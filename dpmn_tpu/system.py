@@ -26,7 +26,7 @@ Cascade algebra parity notes (super_resolution.py):
 
 from __future__ import annotations
 
-import functools
+
 from dataclasses import dataclass
 from typing import Any, Dict, List
 
