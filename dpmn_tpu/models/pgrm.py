@@ -234,49 +234,48 @@ class WindowAttention(nn.Module):
             if sh > 0:
                 qg, kg, vg = (jnp.roll(t, (-sh, -sh), axis=(1, 2)) for t in (qg, kg, vg))
 
+            def windows(t):
+                return window_partition(t, ws).reshape(-1, ws * ws, channel)
+
+            qw, kw, vw = windows(qg), windows(kg), windows(vg)
+            b_, n = qw.shape[0], ws * ws
+
+            def heads(t):
+                return t.reshape(b_, n, gnum_heads, gchannel).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = heads(qw), heads(kw), heads(vw)
             scale = self.qk_scale or gchannel**-0.5
+            attn = jnp.einsum("bhnd,bhmd->bhnm", qh * scale, kh)
+
             table = self.param(
                 f"relative_position_bias_table_{i}", trunc02, ((2 * ws - 1) ** 2, gnum_heads)
             )
-            n = ws * ws
             rel_idx = _relative_position_index(ws).reshape(-1)
-            bias = table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1)  # (h, N, N)
+            bias = table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1)
+            attn = attn + bias[None]
 
-            # Transpose-free formulation: window partition, head split, bias
-            # and shift mask all live as C-order reshapes + 6-D einsums whose
-            # output order IS the faithful layout — profiling showed the
-            # partition/head transposes cost ~60 ms/forward in layout copies.
-            hb, wb = hp // ws, wp // ws
-
-            def split6(t):  # (B, H, W, c) → (b, hb, i, wb, j, heads, d), all free
-                return t.reshape(b, hb, ws, wb, ws, gnum_heads, gchannel)
-
-            q6, k6, v6 = split6(qg * scale), split6(kg), split6(vg)
-            # scores (b, hb, wb, heads, i, j, k, l): contraction over d with
-            # batch dims (b, hb, wb, heads) — one dot_general, no transposes
-            attn = jnp.einsum("bpiqjhd,bpkqlhd->bpqhijkl", q6, k6)
-            attn = attn + bias.reshape(1, 1, 1, gnum_heads, ws, ws, ws, ws)
             if sh > 0:
                 mask = jnp.asarray(_shift_attn_mask(h, w, ws, sh))  # (nW, N, N)
-                attn = attn + mask.reshape(1, hb, wb, 1, ws, ws, ws, ws)
-            # softmax over the (k, l) key axes jointly
-            m = jnp.max(attn, axis=(-2, -1), keepdims=True)
-            e = jnp.exp(attn - m)
-            attn = e / jnp.sum(e, axis=(-2, -1), keepdims=True)
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, gnum_heads, n, n) + mask[None, :, None]
+                attn = attn.reshape(b_, gnum_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            # out (b, hb, wb, i, j, heads, d): C-order equals the reference's
-            # (B*nW, N, channel) window-major buffer
-            out = jnp.einsum("bpqhijkl,bpkqlhd->bpqijhd", attn, v6)
 
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh).transpose(0, 2, 1, 3).reshape(b_, n, channel)
             if self.faithful:
                 # parity quirk: raw reshape of the window-partitioned output
                 # back to (B, H, W, c) — no window_reverse, no un-roll
-                # (model/pgrm.py:263); a free C-order view of `out`
-                xg = out.reshape(b, hp, wp, channel)[:, :h, :w]
+                # (model/pgrm.py:263).  Requires hp==h and wp==w, which holds
+                # for the 16x64 grid with windows {2,4,8}.
+                xg = out.reshape(b, h, w, channel) if (hp == h and wp == w) else None
+                if xg is None:
+                    xg = window_reverse(out.reshape(b_, ws, ws, channel), ws, hp, wp)
+                    if sh > 0:
+                        xg = jnp.roll(xg, (sh, sh), axis=(1, 2))
+                    xg = xg[:, :h, :w]
             else:
-                # window_reverse: (b,hb,wb,i,j,c) → (b,hb,i,wb,j,c)
-                xg = out.reshape(b, hb, wb, ws, ws, channel).transpose(0, 1, 3, 2, 4, 5)
-                xg = xg.reshape(b, hp, wp, channel)
+                xg = window_reverse(out.reshape(b_, ws, ws, channel), ws, hp, wp)
                 if sh > 0:
                     xg = jnp.roll(xg, (sh, sh), axis=(1, 2))
                 xg = xg[:, :h, :w]
