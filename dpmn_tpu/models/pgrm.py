@@ -28,6 +28,7 @@ static relative-bias gather and shift masks are baked in as constants.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -36,6 +37,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pixel_shuffle import pixel_shuffle
+
+# fused Pallas window attention on the deterministic faithful path
+# (ops/pallas_window.py): measured 2.8 vs 4.2-5.2 ms per call on v5e.
+# 'auto' = on for TPU backends; '1'/'0' force.
+_PALLAS_WINDOW_MODE = os.environ.get("DPMN_TPU_PALLAS_WINDOW", "auto")
+
+
+def _use_pallas_window() -> bool:
+    if _PALLAS_WINDOW_MODE == "1":
+        return True
+    if _PALLAS_WINDOW_MODE == "0":
+        return False
+    return jax.default_backend() == "tpu"
 
 trunc02 = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)  # torch trunc_normal_ std=.02
 xavier = nn.initializers.xavier_uniform()
@@ -218,6 +232,26 @@ class WindowAttention(nn.Module):
             x_kv.reshape(b, h * w, c)
         ).reshape(b, h, w, 2 * self.dim)
         k_all, v_all = kv[..., : self.dim], kv[..., self.dim :]
+
+        divisible = all(h % ws == 0 and w % ws == 0 for ws in win)
+        if _use_pallas_window() and self.faithful and deterministic and divisible and not self.is_initializing():
+            from ..ops.pallas_window import fused_grouped_window_attention
+
+            biases, masks = [], []
+            for i, (ws, sh) in enumerate(zip(win, shf)):
+                n = ws * ws
+                table = self.param(
+                    f"relative_position_bias_table_{i}", trunc02, ((2 * ws - 1) ** 2, gnum_heads)
+                )
+                rel_idx = _relative_position_index(ws).reshape(-1)
+                biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
+                masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
+            scale = self.qk_scale or gchannel**-0.5
+            x = fused_grouped_window_attention(
+                q, k_all, v_all, biases, masks, win, shf, gnum_heads, scale
+            )
+            x = SKConv(dim=self.dim, m=n_group)(x)
+            return x.reshape(b, h * w, self.dim)
 
         x_groups = []
         for i in range(n_group):

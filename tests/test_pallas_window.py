@@ -1,0 +1,42 @@
+"""Fused grouped-window-attention kernel vs the XLA module path (interpret)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dpmn_tpu.models.pgrm as P
+from dpmn_tpu.ops.pallas_window import fused_grouped_window_attention
+
+
+def test_fused_window_attention_matches_module():
+    B, H, W, C = 2, 16, 64, 96
+    rng = np.random.RandomState(0)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    for shift in ((0, 0, 0), (1, 2, 4)):
+        wa = P.WindowAttention(
+            dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6, input_resolution=(H, W)
+        )
+        variables = wa.init(jax.random.PRNGKey(0), xq, xkv)
+        ref = wa.apply(variables, xq, xkv)  # XLA path (pallas off on CPU)
+
+        # rebuild the kernel inputs like the module does
+        p = variables["params"]
+        q = (xq.reshape(B, H * W, C) @ p["q"]["kernel"] + p["q"]["bias"]).reshape(B, H, W, C)
+        kv = xkv.reshape(B, H * W, C) @ p["kv"]["kernel"] + p["kv"]["bias"]
+        kv = kv.reshape(B, H, W, 2 * C)
+        k, v = kv[..., :C], kv[..., C:]
+        biases, masks = [], []
+        for i, (ws, sh) in enumerate(zip((2, 4, 8), shift)):
+            n = ws * ws
+            table = p[f"relative_position_bias_table_{i}"]
+            idx = P._relative_position_index(ws).reshape(-1)
+            biases.append(table[idx].reshape(n, n, 2).transpose(2, 0, 1))
+            masks.append(jnp.asarray(P._shift_attn_mask(H, W, ws, sh)) if sh > 0 else None)
+        attn = fused_grouped_window_attention(
+            q, k, v, biases, masks, (2, 4, 8), shift, 2, 16**-0.5, interpret=True
+        )
+        # apply SKConv with the module's params on the kernel output
+        sk = P.SKConv(dim=C, m=3)
+        out = sk.apply({"params": p["SKConv_0"]}, attn).reshape(B, H * W, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
