@@ -151,10 +151,10 @@ class Mlp(nn.Module):
         if self.faithful:
             # QUIRK (ref :33-38): torch does x.view(B, -1, s, s) directly on
             # the (B, HW, hidden) buffer — a C-order reinterpretation whose
-            # "channel" axis interleaves tokens and features.  The reshape is
-            # free in C-order and the convs run in NCHW (measured fastest of
-            # the semantically-exact variants end-to-end: NCHW conv 502,
-            # transpose+NHWC ~, 9-tap shifted-add 423 images/sec).
+            # "channel" axis interleaves tokens and features.  NOTE: Mosaic
+            # cannot shape-cast this reinterpret inside a kernel (it crosses
+            # vector lanes), so the transpose+NHWC-conv XLA formulation
+            # stays; see ops/pallas_mlp.py for the attempted fusion.
             s = int(math.sqrt(hw))
             xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
             xg = convs(xg, "NHWC")
