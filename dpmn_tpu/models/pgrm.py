@@ -139,13 +139,13 @@ class Mlp(nn.Module):
             bshape = [1, 1, 1, 1]
             bshape[c_axis] = self.hidden
             t = jax.lax.conv_general_dilated(
-                t, dw_kernel, (1, 1), [(1, 1), (1, 1)],
+                t, dw_kernel.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=(dn, "HWIO", dn), feature_group_count=self.hidden,
-            ) + dw_bias.reshape(bshape)
+            ) + dw_bias.astype(t.dtype).reshape(bshape)
             t = nn.gelu(t, approximate=False)
             t = jax.lax.conv_general_dilated(
-                t, pw_kernel, (1, 1), [(0, 0), (0, 0)], dimension_numbers=(dn, "HWIO", dn)
-            ) + pw_bias.reshape(bshape)
+                t, pw_kernel.astype(t.dtype), (1, 1), [(0, 0), (0, 0)], dimension_numbers=(dn, "HWIO", dn)
+            ) + pw_bias.astype(t.dtype).reshape(bshape)
             return t
 
         if self.faithful:
