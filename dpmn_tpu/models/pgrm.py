@@ -194,6 +194,41 @@ class SKConv(nn.Module):
         return feats_proj + feats_v
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params and returns their values (used by
+    the fused Pallas path so the param tree matches the XLA path)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc02, self.shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[1],))
+        return kernel, bias
+
+
+class _SKConvParams(nn.Module):
+    """SKConv_0-compatible param subtree → flat dict for the fused kernel."""
+
+    dim: int
+    d: int
+    mc: int
+    channel: int
+
+    @nn.compact
+    def __call__(self):
+        pk, pb = _DenseParams((self.dim, self.dim), name="Dense_0")()
+        f1k, f1b = _DenseParams((self.dim, self.d), name="Dense_1")()
+        f2k, f2b = _DenseParams((self.d, self.mc), name="Dense_2")()
+        phk, phb = _DenseParams((self.channel, self.dim), name="Dense_3")()
+        return {
+            "proj_kernel": pk, "proj_bias": pb,
+            "fc1_kernel": f1k, "fc1_bias": f1b,
+            "fc2_kernel": f2k, "fc2_bias": f2b,
+            "ph_kernel": phk, "ph_bias": phb,
+        }
+
+
 class WindowAttention(nn.Module):
     """Grouped multi-window cross attention (ref :108-271)."""
 
@@ -225,18 +260,22 @@ class WindowAttention(nn.Module):
                 win.append(int(ws))
                 shf.append(int(sh))
 
-        q = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=trunc02, name="q")(
-            x_q.reshape(b, h * w, c)
-        ).reshape(b, h, w, self.dim)
-        kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, kernel_init=trunc02, name="kv")(
-            x_kv.reshape(b, h * w, c)
-        ).reshape(b, h, w, 2 * self.dim)
-        k_all, v_all = kv[..., : self.dim], kv[..., self.dim :]
-
         divisible = all(h % ws == 0 and w % ws == 0 for ws in win)
         if _use_pallas_window() and self.faithful and deterministic and divisible and not self.is_initializing():
-            from ..ops.pallas_window import fused_grouped_window_attention
+            # fully-fused path: QKV projections + grouped window attention +
+            # SKConv in one Pallas kernel (ops/pallas_window.py).  Params are
+            # declared through tree-compatible child modules so checkpoints
+            # are interchangeable with the XLA path below.
+            from ..ops.pallas_window import fused_window_attention_block
 
+            qk, qb = _DenseParams((c, self.dim), name="q")()
+            kvk, kvb = _DenseParams((c, 2 * self.dim), name="kv")()
+            channel_sk = self.dim // n_group
+            d_sk = channel_sk // 2
+            sk = _SKConvParams(self.dim, d_sk, channel_sk * n_group, channel_sk, name="SKConv_0")()
+            weights = {
+                "q_kernel": qk, "q_bias": qb, "kv_kernel": kvk, "kv_bias": kvb, **sk,
+            }
             biases, masks = [], []
             for i, (ws, sh) in enumerate(zip(win, shf)):
                 n = ws * ws
@@ -247,11 +286,18 @@ class WindowAttention(nn.Module):
                 biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
                 masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
             scale = self.qk_scale or gchannel**-0.5
-            x = fused_grouped_window_attention(
-                q, k_all, v_all, biases, masks, win, shf, gnum_heads, scale
+            return fused_window_attention_block(
+                x_q.reshape(b, h * w, c), x_kv.reshape(b, h * w, c), weights,
+                biases, masks, win, shf, gnum_heads, scale, (h, w),
             )
-            x = SKConv(dim=self.dim, m=n_group)(x)
-            return x.reshape(b, h * w, self.dim)
+
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=trunc02, name="q")(
+            x_q.reshape(b, h * w, c)
+        ).reshape(b, h, w, self.dim)
+        kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, kernel_init=trunc02, name="kv")(
+            x_kv.reshape(b, h * w, c)
+        ).reshape(b, h, w, 2 * self.dim)
+        k_all, v_all = kv[..., : self.dim], kv[..., self.dim :]
 
         x_groups = []
         for i in range(n_group):

@@ -86,9 +86,9 @@ def fused_grouped_window_attention(
 
     in_specs = [pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)] * 3
     for t in biases:
-        in_specs.append(pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
     for t in mask_inputs:
-        in_specs.append(pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         kernel,
@@ -98,3 +98,136 @@ def fused_grouped_window_attention(
         out_shape=jax.ShapeDtypeStruct((b, h, w, dim), q.dtype),
         interpret=interpret,
     )(q, k, v, *biases, *mask_inputs)
+
+
+def _gelu_erf(x):
+    """Exact-gelu via an Abramowitz-Stegun 7.1.26 erf (max err 1.5e-7);
+    Pallas lowers neither erf nor erfc."""
+    z = x * (2.0**-0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return 0.5 * x * (1.0 + jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az)))
+
+
+def fused_window_attention_block(
+    xq: jax.Array,  # (B, HW, dim) normalized query tokens
+    xkv: jax.Array,  # (B, HW, dim) normalized key/value tokens
+    weights: dict,  # q/kv projection + SKConv parameter arrays
+    biases: Sequence[jax.Array],
+    masks: Sequence,
+    window_sizes: Sequence[int],
+    shifts: Sequence[int],
+    gnum_heads: int,
+    qk_scale: float,
+    hw_shape,
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole WindowAttention forward (model/pgrm.py:184-271) in one
+    kernel: QKV projections, grouped window attention (faithful layout) and
+    the SKConv selective-kernel fusion.  Returns (B, HW, dim)."""
+    b, hw, dim = xq.shape
+    h, w = hw_shape
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+
+    mask_inputs = [m if m is not None else jnp.zeros((1, 1, 1), jnp.float32) for m in masks]
+    wlist = [weights[k] for k in (
+        "q_kernel", "q_bias", "kv_kernel", "kv_bias",
+        "proj_kernel", "proj_bias", "fc1_kernel", "fc1_bias",
+        "fc2_kernel", "fc2_bias", "ph_kernel", "ph_bias",
+    )]
+
+    def kernel(xq_ref, xkv_ref, *rest):
+        (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,
+         f2k_ref, f2b_ref, phk_ref, phb_ref) = rest[:12]
+        bias_refs = rest[12 : 12 + n_group]
+        mask_refs = rest[12 + n_group : 12 + 2 * n_group]
+        out_ref, attn_scratch = rest[12 + 2 * n_group], rest[12 + 2 * n_group + 1]
+
+        xq_t = xq_ref[0]  # (HW, dim)
+        xkv_t = xkv_ref[0]
+        q_full = jax.lax.dot_general(xq_t, qk_ref[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) + qb_ref[:]
+        kv_full = jax.lax.dot_general(xkv_t, kvk_ref[:], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) + kvb_ref[:]
+        qb3 = q_full.reshape(h, w, dim)
+        kb3 = kv_full[:, :dim].reshape(h, w, dim)
+        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+
+        for i, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            hb, wb = h // ws, w // ws
+            nw, n = hb * wb, ws * ws
+            for hd in range(gnum_heads):
+                lo = i * channel + hd * gch
+                sl = slice(lo, lo + gch)
+                qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+                if sh > 0:
+                    qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                    kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                    vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+
+                def part(t):
+                    t = t.reshape(hb, ws, wb, ws, gch)
+                    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+                    return t.reshape(nw, n, gch)
+
+                qw = part(qg) * qk_scale
+                kw, vw = part(kg), part(vg)
+                scores = jax.lax.dot_general(
+                    qw, kw, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                )
+                scores = scores + bias_refs[i][hd][None]
+                if shifts[i] > 0:
+                    scores = scores + mask_refs[i][:]
+                probs = jax.nn.softmax(scores, axis=-1)
+                out = jax.lax.dot_general(
+                    probs, vw, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                )
+                attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
+
+        # ---- SKConv (model/pgrm.py:62-96)
+        tokens = attn_scratch[:]  # (HW, dim) faithful-layout attention output
+        feats = jax.lax.dot_general(tokens, pk_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) + pb_ref[:]
+        g = _gelu_erf(feats)
+        s_vec = jnp.mean(g, axis=0, keepdims=True)  # (1, dim)
+        z = _gelu_erf(jax.lax.dot_general(s_vec, f1k_ref[:], (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32) + f1b_ref[:])
+        a = jax.lax.dot_general(z, f2k_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + f2b_ref[:]  # (1, M*channel)
+        # softmax over the M groups without a lane-crossing reshape
+        parts = [a[:, j * channel : (j + 1) * channel] for j in range(n_group)]
+        mx = parts[0]
+        for p in parts[1:]:
+            mx = jnp.maximum(mx, p)
+        exps = [jnp.exp(p - mx) for p in parts]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        feats_v = jnp.zeros((hw, channel), jnp.float32)
+        for j in range(n_group):
+            wgt = exps[j] / denom  # (1, channel)
+            feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgt
+        out_v = jax.lax.dot_general(feats_v, phk_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) + phb_ref[:]
+        out_ref[0] = feats + out_v
+
+    in_specs = [pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
+    for t in wlist:
+        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
+    for t in biases:
+        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
+    for t in mask_inputs:
+        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, dim), xq.dtype),
+        scratch_shapes=[pltpu.VMEM((hw, dim), jnp.float32)],
+        interpret=interpret,
+    )(xq, xkv, *wlist, *biases, *mask_inputs)

@@ -40,3 +40,43 @@ def test_fused_window_attention_matches_module():
         sk = P.SKConv(dim=C, m=3)
         out = sk.apply({"params": p["SKConv_0"]}, attn).reshape(B, H * W, C)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_block_matches_module_interpret():
+    """The fully-fused block (projections + attention + SKConv) vs the XLA
+    module path, interpret mode."""
+    import dpmn_tpu.ops.pallas_window as PW
+
+    B, H, W, C = 2, 16, 64, 96
+    rng = np.random.RandomState(1)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    shift = (1, 2, 4)
+    wa = P.WindowAttention(
+        dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6, input_resolution=(H, W)
+    )
+    variables = wa.init(jax.random.PRNGKey(0), xq, xkv)
+    ref = wa.apply(variables, xq, xkv)
+
+    p = variables["params"]
+    sk = p["SKConv_0"]
+    weights = {
+        "q_kernel": p["q"]["kernel"], "q_bias": p["q"]["bias"],
+        "kv_kernel": p["kv"]["kernel"], "kv_bias": p["kv"]["bias"],
+        "proj_kernel": sk["Dense_0"]["kernel"], "proj_bias": sk["Dense_0"]["bias"],
+        "fc1_kernel": sk["Dense_1"]["kernel"], "fc1_bias": sk["Dense_1"]["bias"],
+        "fc2_kernel": sk["Dense_2"]["kernel"], "fc2_bias": sk["Dense_2"]["bias"],
+        "ph_kernel": sk["Dense_3"]["kernel"], "ph_bias": sk["Dense_3"]["bias"],
+    }
+    biases, masks = [], []
+    for i, (ws, sh) in enumerate(zip((2, 4, 8), shift)):
+        n = ws * ws
+        table = p[f"relative_position_bias_table_{i}"]
+        idx = P._relative_position_index(ws).reshape(-1)
+        biases.append(table[idx].reshape(n, n, 2).transpose(2, 0, 1))
+        masks.append(jnp.asarray(P._shift_attn_mask(H, W, ws, sh)) if sh > 0 else None)
+    out = PW.fused_window_attention_block(
+        xq.reshape(B, H * W, C), xkv.reshape(B, H * W, C), weights, biases, masks,
+        (2, 4, 8), shift, 2, 16**-0.5, (H, W), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
