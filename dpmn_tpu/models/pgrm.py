@@ -207,6 +207,21 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm-compatible params (scale, bias) returned as values, so
+    the norm can run functionally — inside the fused Pallas kernel on the
+    eval path, via _layer_norm in XLA otherwise.  Same param tree as
+    nn.LayerNorm(name=...)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class _SKConvParams(nn.Module):
     """SKConv_0-compatible param subtree → flat dict for the fused kernel."""
 
@@ -243,7 +258,11 @@ class WindowAttention(nn.Module):
     faithful: bool = True
 
     @nn.compact
-    def __call__(self, x_q: jax.Array, x_kv: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x_q: jax.Array, x_kv: jax.Array, deterministic: bool = True, ln=None):
+        """ln=(q_scale, q_bias, kv_scale, kv_bias): inputs are PRE-norm; the
+        norms run in here (fused into the Pallas kernel on the eval path) and
+        the return value is (out, residual_fused: bool) where residual_fused
+        says the kernel already added the x_kv shortcut."""
         b, h, w, c = x_q.shape
         n_group = len(self.window_size)
         channel = self.dim // n_group
@@ -286,10 +305,22 @@ class WindowAttention(nn.Module):
                 biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
                 masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
             scale = self.qk_scale or gchannel**-0.5
-            return fused_window_attention_block(
+            ln_params = None
+            if ln is not None:
+                ln_params = {"qs": ln[0], "qb": ln[1], "ks": ln[2], "kb": ln[3]}
+            out = fused_window_attention_block(
                 x_q.reshape(b, h * w, c), x_kv.reshape(b, h * w, c), weights,
                 biases, masks, win, shf, gnum_heads, scale, (h, w),
+                ln_params=ln_params,
+                interpret=jax.default_backend() != "tpu",
             )
+            return (out, True) if ln is not None else out
+
+        if ln is not None:
+            from ..ops.pallas_window import _layer_norm
+
+            x_q = _layer_norm(x_q, ln[0], ln[1])
+            x_kv = _layer_norm(x_kv, ln[2], ln[3])
 
         q = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=trunc02, name="q")(
             x_q.reshape(b, h * w, c)
@@ -363,7 +394,8 @@ class WindowAttention(nn.Module):
 
         x = jnp.concatenate(x_groups, axis=-1)  # (B, H, W, dim)
         x = SKConv(dim=self.dim, m=n_group)(x)
-        return x.reshape(b, h * w, self.dim)
+        x = x.reshape(b, h * w, self.dim)
+        return (x, False) if ln is not None else x
 
 
 class SwinTransformerBlock(nn.Module):
@@ -387,9 +419,11 @@ class SwinTransformerBlock(nn.Module):
         assert l == h * w, "input feature has wrong size"
         shortcut = x_kv
         x_q_ori = x_q
-        xq = nn.LayerNorm(name="norm1_q")(x_q).reshape(b, h, w, c)
-        xkv = nn.LayerNorm(name="norm1_kv")(x_kv).reshape(b, h, w, c)
-        attn_out = WindowAttention(
+        # norm1_q / norm1_kv params declared here (same tree as nn.LayerNorm)
+        # but applied inside WindowAttention so the fused kernel can absorb
+        # them together with the shortcut add on the eval path
+        ln = _LNParams(c, name="norm1_q")() + _LNParams(c, name="norm1_kv")()
+        attn_out, residual_fused = WindowAttention(
             dim=self.dim,
             window_size=self.window_size,
             shift_size=self.shift_size,
@@ -399,9 +433,9 @@ class SwinTransformerBlock(nn.Module):
             qk_scale=self.qk_scale,
             attn_drop=self.attn_drop,
             faithful=self.faithful,
-        )(xq, xkv, deterministic)
+        )(x_q.reshape(b, h, w, c), x_kv.reshape(b, h, w, c), deterministic, ln=ln)
         dp = DropPath(self.drop_path)
-        x_kv = shortcut + dp(attn_out, deterministic)
+        x_kv = attn_out if residual_fused else shortcut + dp(attn_out, deterministic)
         mlp_out = Mlp(
             hidden=int(self.dim * self.mlp_ratio),
             out=self.dim,

@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -100,6 +101,42 @@ def fused_grouped_window_attention(
     )(q, k, v, *biases, *mask_inputs)
 
 
+def build_packed_bias(
+    biases: Sequence[jax.Array],  # per group (gnum_heads, N_i, N_i)
+    masks: Sequence,  # per group (nW_i, N_i, N_i) or None
+    window_sizes: Sequence[int],
+    hw: int,
+) -> jax.Array:
+    """Packs window attention into MXU-shaped (hw//128, 128, 128) score tiles.
+
+    nW*N == hw for non-overlapping windows, so 128//N windows stack into one
+    128-row tile; the additive bias tensor carries everything the per-window
+    formulation adds: -1e9 outside the diagonal window blocks (kills
+    cross-window pairs after softmax), the learned relative-position bias
+    tiled along the diagonal, and the per-window shift mask.  Returns
+    (n_group, gnum_heads, hw//128, 128, 128) float32.
+    """
+    npack = hw // 128
+    out = []
+    for bias, mask, ws in zip(biases, masks, window_sizes):
+        n = ws * ws
+        heads = bias.shape[0]
+        wpp = 128 // n  # windows per 128-row pack
+        blockpos = jnp.kron(jnp.eye(wpp), jnp.ones((n, n))) > 0  # (128,128)
+        tiled = jnp.tile(bias, (1, wpp, wpp))  # (heads, 128, 128)
+        base = jnp.where(blockpos[None], tiled, jnp.float32(-1e9))
+        base = jnp.broadcast_to(base[:, None], (heads, npack, 128, 128))
+        if mask is not None:
+            mask_r = mask.reshape(npack, wpp, n, n)
+            rows = np.arange(128)
+            wi, ii = rows // n, rows % n
+            gathered = mask_r[:, wi[:, None], ii[:, None], ii[None, :]]  # (npack,128,128)
+            md = jnp.where(blockpos[None], gathered, 0.0)
+            base = base + md[None]
+        out.append(base)
+    return jnp.stack(out)  # (n_group, heads, npack, 128, 128)
+
+
 def _gelu_erf(x):
     """Exact-gelu via an Abramowitz-Stegun 7.1.26 erf (max err 1.5e-7);
     Pallas lowers neither erf nor erfc."""
@@ -110,9 +147,16 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az)))
 
 
+def _layer_norm(x, scale, bias, eps=1e-6):
+    """flax.linen.LayerNorm semantics (mean/var over the last axis)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def fused_window_attention_block(
-    xq: jax.Array,  # (B, HW, dim) normalized query tokens
-    xkv: jax.Array,  # (B, HW, dim) normalized key/value tokens
+    xq: jax.Array,  # (B, HW, dim) query tokens (pre-norm iff ln_params given)
+    xkv: jax.Array,  # (B, HW, dim) key/value tokens (pre-norm iff ln_params given)
     weights: dict,  # q/kv projection + SKConv parameter arrays
     biases: Sequence[jax.Array],
     masks: Sequence,
@@ -121,33 +165,59 @@ def fused_window_attention_block(
     gnum_heads: int,
     qk_scale: float,
     hw_shape,
+    ln_params: dict = None,  # {qs, qb, ks, kb}: fuse norm1_q/norm1_kv + the
+    # post-attention residual add (out = xkv + attn) into the kernel
     interpret: bool = False,
 ) -> jax.Array:
     """The whole WindowAttention forward (model/pgrm.py:184-271) in one
     kernel: QKV projections, grouped window attention (faithful layout) and
-    the SKConv selective-kernel fusion.  Returns (B, HW, dim)."""
+    the SKConv selective-kernel fusion.  Returns (B, HW, dim).
+
+    Attention runs as packed MXU tiles when hw is a multiple of 128 and every
+    window fits: nW*N == hw, so 128//N windows stack into one 128-row tile
+    and every group becomes an (hw//128, 128, 128) batched dot against the
+    static packed bias from build_packed_bias — no per-window tiny dots, one
+    window partition per group instead of per head, and the faithful raw
+    re-layout (model/pgrm.py:263) is exactly the packed row order."""
     b, hw, dim = xq.shape
     h, w = hw_shape
     n_group = len(window_sizes)
     channel = dim // n_group
     gch = channel // gnum_heads
+    packed = hw % 128 == 0 and all(128 % (ws * ws) == 0 for ws in window_sizes)
+    npack = hw // 128
 
-    mask_inputs = [m if m is not None else jnp.zeros((1, 1, 1), jnp.float32) for m in masks]
-    wlist = [weights[k] for k in (
+    if packed:
+        prior_inputs = [build_packed_bias(biases, masks, window_sizes, hw)]
+    else:
+        prior_inputs = list(biases) + [
+            m if m is not None else jnp.zeros((1, 1, 1), jnp.float32) for m in masks
+        ]
+    n_prior = len(prior_inputs)
+    wnames = [
         "q_kernel", "q_bias", "kv_kernel", "kv_bias",
         "proj_kernel", "proj_bias", "fc1_kernel", "fc1_bias",
         "fc2_kernel", "fc2_bias", "ph_kernel", "ph_bias",
-    )]
+    ]
+    if ln_params is not None:
+        wnames += ["qs", "qb", "ks", "kb"]
+        weights = dict(weights, **ln_params)
+    n_w = len(wnames)
+    wlist = [weights[k] for k in wnames]
 
     def kernel(xq_ref, xkv_ref, *rest):
         (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,
          f2k_ref, f2b_ref, phk_ref, phb_ref) = rest[:12]
-        bias_refs = rest[12 : 12 + n_group]
-        mask_refs = rest[12 + n_group : 12 + 2 * n_group]
-        out_ref, attn_scratch = rest[12 + 2 * n_group], rest[12 + 2 * n_group + 1]
+        prior_refs = rest[n_w : n_w + n_prior]
+        out_ref, attn_scratch = rest[n_w + n_prior], rest[n_w + n_prior + 1]
 
         xq_t = xq_ref[0]  # (HW, dim)
         xkv_t = xkv_ref[0]
+        if ln_params is not None:
+            lqs_ref, lqb_ref, lks_ref, lkb_ref = rest[12:16]
+            shortcut = xkv_t
+            xq_t = _layer_norm(xq_t, lqs_ref[:], lqb_ref[:])
+            xkv_t = _layer_norm(xkv_t, lks_ref[:], lkb_ref[:])
         q_full = jax.lax.dot_general(xq_t, qk_ref[:], (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) + qb_ref[:]
         kv_full = jax.lax.dot_general(xkv_t, kvk_ref[:], (((1,), (0,)), ((), ())),
@@ -159,6 +229,39 @@ def fused_window_attention_block(
         for i, (ws, sh) in enumerate(zip(window_sizes, shifts)):
             hb, wb = h // ws, w // ws
             nw, n = hb * wb, ws * ws
+            if packed:
+                sl = slice(i * channel, (i + 1) * channel)
+                qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+                if sh > 0:
+                    qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                    kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                    vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+
+                def part(t):
+                    t = t.reshape(hb, ws, wb, ws, channel)
+                    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+                    return t.reshape(hw, channel)  # window-major rows
+
+                qw = part(qg) * qk_scale
+                kw, vw = part(kg), part(vg)
+                for hd in range(gnum_heads):
+                    hsl = slice(hd * gch, (hd + 1) * gch)
+                    qp = qw[:, hsl].reshape(npack, 128, gch)
+                    kp = kw[:, hsl].reshape(npack, 128, gch)
+                    vp = vw[:, hsl].reshape(npack, 128, gch)
+                    scores = jax.lax.dot_general(
+                        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (npack, 128, 128)
+                    scores = scores + prior_refs[0][i, hd]
+                    probs = jax.nn.softmax(scores, axis=-1)
+                    out = jax.lax.dot_general(
+                        probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (npack, 128, gch)
+                    lo = i * channel + hd * gch
+                    attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
+                continue
+            bias_refs = prior_refs[:n_group]
+            mask_refs = prior_refs[n_group:]
             for hd in range(gnum_heads):
                 lo = i * channel + hd * gch
                 sl = slice(lo, lo + gch)
@@ -212,14 +315,13 @@ def fused_window_attention_block(
             feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgt
         out_v = jax.lax.dot_general(feats_v, phk_ref[:], (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32) + phb_ref[:]
-        out_ref[0] = feats + out_v
+        if ln_params is not None:
+            out_ref[0] = shortcut + feats + out_v  # fused residual (eval path)
+        else:
+            out_ref[0] = feats + out_v
 
     in_specs = [pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
-    for t in wlist:
-        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
-    for t in biases:
-        in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
-    for t in mask_inputs:
+    for t in wlist + prior_inputs:
         in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
@@ -230,4 +332,4 @@ def fused_window_attention_block(
         out_shape=jax.ShapeDtypeStruct((b, hw, dim), xq.dtype),
         scratch_shapes=[pltpu.VMEM((hw, dim), jnp.float32)],
         interpret=interpret,
-    )(xq, xkv, *wlist, *biases, *mask_inputs)
+    )(xq, xkv, *wlist, *prior_inputs)

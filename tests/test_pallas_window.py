@@ -51,7 +51,35 @@ def test_fused_block_matches_module_interpret():
     rng = np.random.RandomState(1)
     xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
     xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
-    shift = (1, 2, 4)
+    for shift in ((0, 0, 0), (1, 2, 4)):
+        _check_fused_block(xq, xkv, shift)
+
+
+def test_swin_block_fused_ln_residual_matches_xla(monkeypatch):
+    """SwinTransformerBlock with the pallas path forced (interpret on CPU):
+    the kernel absorbs norm1_q/norm1_kv + the shortcut add — must match the
+    XLA module path."""
+    B, H, W, C = 2, 16, 64, 96
+    rng = np.random.RandomState(2)
+    xq = jnp.asarray(rng.rand(B, H * W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H * W, C).astype(np.float32))
+    blk = P.SwinTransformerBlock(
+        dim=C, input_resolution=(H, W), num_heads=6,
+        window_size=[2, 4, 8], shift_size=[1, 2, 4],
+    )
+    variables = blk.init(jax.random.PRNGKey(3), xq, xkv)
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "0")
+    ref_q, ref_kv = blk.apply(variables, xq, xkv)
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "1")
+    out_q, out_kv = blk.apply(variables, xq, xkv)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_kv), np.asarray(ref_kv), rtol=1e-4, atol=1e-5)
+
+
+def _check_fused_block(xq, xkv, shift):
+    import dpmn_tpu.ops.pallas_window as PW
+
+    B, H, W, C = xq.shape
     wa = P.WindowAttention(
         dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6, input_resolution=(H, W)
     )

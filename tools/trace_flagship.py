@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Capture + summarize an xprof trace of the flagship eval forward.
+
+Writes a jax.profiler trace of system.sr_forward, then parses the xplane
+protobuf and prints per-op total durations (TPU device plane only),
+aggregated by HLO op-name prefix so the heavy phases stand out.
+
+Usage: python tools/trace_flagship.py [--batch 64] [--iters 5] [--top 40]
+"""
+
+import argparse
+import collections
+import glob
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def summarize(logdir: str, iters: int, top: int):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True))
+    assert paths, f"no xplane.pb under {logdir}"
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        totals = collections.Counter()
+        counts = collections.Counter()
+        device_total = 0
+        for line in plane.lines:
+            if "step" in line.name.lower():
+                continue
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                dur = ev.duration_ps / 1e9  # ms
+                totals[name] += dur
+                counts[name] += 1
+                device_total += dur
+        print(f"\n=== plane: {plane.name}  (total {device_total/iters:.2f} ms/iter over {iters} iters)")
+        for name, ms in totals.most_common(top):
+            print(f"{ms/iters:8.3f} ms/iter  x{counts[name]:<5d} {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--logdir", default="/tmp/dpmn_trace")
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.parse_only:
+        from dpmn_tpu.config import TrainCfg
+        from dpmn_tpu.system import DPMNSystem
+        from __graft_entry__ import _flagship_args
+
+        cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
+        system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas")
+        state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+        rng = np.random.RandomState(0)
+        images_lr = jnp.asarray(rng.rand(args.batch, 16, 64, 4), jnp.float32)
+
+        sr = system.sr_forward(state, images_lr)
+        sr.block_until_ready()
+
+        os.system(f"rm -rf {args.logdir}")
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                sr = system.sr_forward(state, images_lr)
+            sr.block_until_ready()
+
+    summarize(args.logdir, args.iters, args.top)
+
+
+if __name__ == "__main__":
+    main()
