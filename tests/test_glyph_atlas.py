@@ -25,6 +25,29 @@ def test_atlas_compose_shapes_and_content():
     assert out[2].max() == 0.0  # empty string → blank canvas
 
 
+def test_atlas_proportional_close_to_host():
+    """Proportional-advance composition vs the host whole-word renderer with
+    the same (proportional) face: structural agreement on TextZoom-typical
+    word lengths."""
+    from dpmn_tpu.data.glyph import GlyphRenderer, _DEFAULT_FONT
+
+    fn = make_device_glyph_fn((32, 128), _DEFAULT_FONT)
+    host = GlyphRenderer(_DEFAULT_FONT, (32, 128))
+    corrs = []
+    for word in ("abc", "hello", "quick", "w1ld", "64213"):
+        ids = jnp.asarray(ids_of(word))[None]
+        out = np.asarray(fn(ids, jnp.asarray([len(word)], jnp.int32)))[0]
+        ref = host._render(word)
+        for case in (0, 1):
+            a = out[:, :, case].reshape(8, 4, 16, 8).mean((1, 3))
+            b = ref[:, :, case].reshape(8, 4, 16, 8).mean((1, 3))
+            a = (a - a.mean()) / (a.std() + 1e-6)
+            b = (b - b.mean()) / (b.std() + 1e-6)
+            corrs.append(float((a * b).mean()))
+    mean = float(np.mean(corrs))
+    assert mean > 0.85, f"proportional atlas/host mean correlation too low: {mean}"
+
+
 def test_atlas_close_to_host_render_mono():
     """Against the host reference renderer with the same mono font the atlas
     should land strokes in roughly the same cells (it is an approximation:
