@@ -82,6 +82,11 @@ class DPMNSystem:
     args: Args
     glyph_mode: str = "callback"  # 'callback' | 'zeros'
     donate_state: bool = False
+    # Serving-mode dtype for the frozen VisionLAN students ('bfloat16' to
+    # halve their MXU time).  The glyph prior consumes only the argmax of
+    # the student logits, so reduced precision cannot perturb the prior
+    # except on exact ties; None keeps the quirk-exact fp32 path.
+    student_dtype: Any = None
 
     def __post_init__(self):
         a = self.args
@@ -260,7 +265,13 @@ class DPMNSystem:
         if self.glyph_mode == "zeros":
             return jnp.zeros((b, h, w, 2), cascade_images.dtype)
         vl_in = parse_visionlan_input(cascade_images[..., :3])
-        logits, lengths = self.student.apply(frozen[f"student_{k}"], vl_in, train=False)
+        student_vars = frozen[f"student_{k}"]
+        if self.student_dtype is not None:
+            dt = jnp.dtype(self.student_dtype)
+            cast = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+            student_vars = jax.tree_util.tree_map(cast, student_vars)
+            vl_in = vl_in.astype(dt)
+        logits, lengths = self.student.apply(student_vars, vl_in, train=False)
         preds = logits.argmax(-1).astype(jnp.int32)  # (B, 25), 0 = EOS
         lengths = lengths.astype(jnp.int32)
 

@@ -67,6 +67,31 @@ def test_sr_forward_shapes(sys_state):
     assert np.isfinite(np.asarray(sr)).all()
 
 
+def test_bf16_students_match_fp32_predictions():
+    """student_dtype='bfloat16' must leave the decoded glyph ids (argmax of
+    the student logits) essentially unchanged — the prior only sees argmax."""
+    system32 = tiny_system(glyph_mode="callback")
+    system16 = tiny_system(glyph_mode="callback")
+    system16.student_dtype = "bfloat16"
+    state = system32.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(4).rand(2, 16, 64, 4), jnp.float32)
+
+    from dpmn_tpu.models.visionlan import parse_visionlan_input
+
+    img = jnp.asarray(np.random.RandomState(5).rand(2, 32, 128, 3), jnp.float32)
+    vl_in = parse_visionlan_input(img)
+    logits32, _ = system32.student.apply(state["frozen"]["student_0"], vl_in, train=False)
+    cast = lambda t: t.astype(jnp.bfloat16) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+    sv16 = jax.tree_util.tree_map(cast, state["frozen"]["student_0"])
+    logits16, _ = system16.student.apply(sv16, vl_in.astype(jnp.bfloat16), train=False)
+    agree = float(jnp.mean((logits32.argmax(-1) == logits16.argmax(-1)).astype(jnp.float32)))
+    assert agree >= 0.9, agree
+
+    sr = system16.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
 def test_glyph_callback_mode():
     system = tiny_system(glyph_mode="callback")
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
