@@ -2,27 +2,34 @@
 
 The reference renders the recognized word per sample per cascade iteration
 on the host (utils/render_standard_text.py via super_resolution.py:186-193):
-fit a font size to the padded canvas, render, tight-crop the ink box, and
-stretch the crop edge-to-edge over the full canvas
-(render_standard_text.py:70).  The TPU runtime used here does not support
-host callbacks inside jit, and a host round-trip per PGRM iteration would
-serialize the pipeline — so the glyph prior is computed ON DEVICE with
-proportional char widths:
+binary-search a font size so the word's ink rect fits the padded canvas,
+render, tight-crop the ink box, and stretch the crop edge-to-edge over the
+full canvas (render_standard_text.py:70).  The TPU runtime used here does
+not support host callbacks inside jit, and a host round-trip per PGRM
+iteration would serialize the pipeline — so the glyph prior is computed ON
+DEVICE with proportional char widths AND per-word font-size buckets:
 
   host, once:
-    * render every charset char (lower+upper) at a FIXED font size on a
-      shared baseline; store the advance box resized to a CELL x CELL cell
-      plus the true advance width and ink bands (pygame.freetype applies no
-      kerning, so host word layout == advance concatenation);
-    * precompute a bank of row-resize matrices, one per vertical (top, bot)
-      ink band, replicating the tight-crop→stretch vertically.
+    * for every font size s in [2, 36] render every charset char
+      (lower+upper) at size s on a shared baseline; store the advance box at
+      NATIVE resolution zero-padded into a (NCELL, NCELL) cell, plus the
+      true advance width and ink bands in native px.  Rendering per size
+      reproduces the host's size-dependent hinting/stroke proportions (a
+      25-char word is rendered at ~6 px and stretched; a 1-char word at
+      ~34 px);
+    * em-unit selection tables (ascent, advance, ink bearings) from a large
+      reference render, used to predict the host's binary-searched size.
 
-  device, per batch:
-    * gather cells by char id → strip (B, CELL, 25*CELL)
-    * word band = (min char top, max char bot) → select row matrix
-    * build the per-sample proportional column-resize matrix by evaluating
-      the bicubic kernel densely over (strip px, canvas col) — VPU work —
-      mapping the word's horizontal ink box edge-to-edge like the host crop
+  device, per batch and per case:
+    * predict the host font size: s = floor(min(target_h / ascent_em,
+      target_w / span_em)) — the fixed point of the host's search under
+      linear metric scaling — and clamp to the bucket range
+    * gather cells by (size, case, char id) → strip (B, NCELL, 25*NCELL)
+    * build BOTH resample maps on device by evaluating the bicubic kernel
+      densely (VPU work): rows map the word ink band [min top, max bot) and
+      columns map the horizontal ink box [first ink left, last ink right)
+      edge-to-edge, exactly like the host tight-crop→stretch — a single
+      resample per axis at native resolution (no intermediate cell resize)
     * two batched matmuls: rows then columns — MXU work, no host.
 
 'callback' mode retains bit-parity (whole-word render, exact crop) on
@@ -36,57 +43,64 @@ import os
 
 import numpy as np
 
-from ..ops.resize import resize_matrix
 from ..utils.labels import DIC_36
 
 MONO_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
-CELL = 32
+NCELL = 64  # native cell: fits band_h(36) = 50 rows and the widest advance
 MAX_LEN = 25
+SIZE_MIN = 2
+SIZE_MAX = 36
+SIZE_REF = 32  # em-metric reference render size (selection tables)
 
 
-def _render_char_cell(font, ch: str):
-    """Render one char on a fixed baseline into a (CELL, CELL) cell.
+def _render_char_native(font, ch: str, size: int):
+    """Render one char at `size` on a fixed baseline into a native-resolution
+    (NCELL, NCELL) zero-padded cell.
 
-    Returns (cell float32, top, bot, adv, ink_l, ink_r): [top, bot) is the
-    ink row band; adv the glyph's horizontal advance in native px (the
-    proportional width used at composition time); [ink_l, ink_r) the ink
-    column band within the advance box, also in native px.
+    Returns (cell float32, top, bot, adv, ink_l, ink_r, ascent): [top, bot)
+    the ink row band and [ink_l, ink_r) the ink column band within the
+    advance box, all in native px at `size`; adv the horizontal advance;
+    ascent = baseline - ink top (the freetype get_rect `y` the host's size
+    search fits against).
     """
-    import cv2
     import pygame
     import pygame.locals
 
     from .glyph import _ensure_pygame
 
     _ensure_pygame()
-    # fixed geometry: baseline at 3/4 of the band, font size fits ascenders
-    # + descenders of the face inside CELL rows
-    size = int(CELL * 0.72)
-    font.size = size
-    band_h = CELL
+    font.size = int(size)
+    # band geometry scales with size (baseline at 0.78 of the band) so all
+    # chars of a word share a baseline inside their cells
+    band_h = min(max(int(round(size / 0.72)), 4), NCELL)
+    baseline = int(band_h * 0.78)
+    x0 = band_h
     metrics = font.get_metrics(ch)
     adv = max(int(round(metrics[0][4])) if metrics and metrics[0] else 1, 1)
-    surf = pygame.Surface((4 * CELL, 2 * band_h), pygame.locals.SRCALPHA, 32)
-    baseline = int(band_h * 0.78)
-    font.render_to(surf, (CELL, baseline), ch)
+    adv = min(adv, NCELL)
+    surf = pygame.Surface((x0 + 3 * band_h + adv, 2 * band_h), pygame.locals.SRCALPHA, 32)
+    font.render_to(surf, (x0, baseline), ch)
     arr = pygame.surfarray.pixels_alpha(surf).swapaxes(0, 1)[:band_h].astype(np.float32)
     # horizontal: take the advance box starting at the pen position —
     # pygame.freetype applies no kerning by default, so word layout is a
     # pure concatenation of advance boxes (matches the host renderer)
-    box = arr[:, CELL : CELL + adv]
+    box = arr[:, x0 : x0 + adv]
+    cell = np.zeros((NCELL, NCELL), np.float32)
+    cell[:band_h, :adv] = box
     ink = np.where(box > 20)
     if ink[0].size == 0:
-        return np.zeros((CELL, CELL), np.float32), CELL // 2, CELL // 2 + 1, float(adv), 0.0, float(adv)
-    cell = cv2.resize(box, (CELL, CELL), interpolation=cv2.INTER_CUBIC) if box.shape[1] != CELL else box.copy()
+        return cell, NCELL // 2, NCELL // 2 + 1, float(adv), 0.0, float(adv), 0.0
     top, bot = int(ink[0].min()), int(ink[0].max()) + 1
     ink_l, ink_r = float(ink[1].min()), float(ink[1].max()) + 1.0
-    return cell, top, bot, float(adv), ink_l, ink_r
+    ascent = float(baseline - top)
+    return cell, top, bot, float(adv), ink_l, ink_r, ascent
 
 
 @functools.lru_cache(maxsize=8)
 def build_atlas(shape=(32, 128), font_path: str = None):
-    """Returns (atlas (2, C, CELL, CELL), tops (2, C), bots (2, C),
-    row_bank ((CELL+1)^2, H, CELL), advs/inkls/inkrs (2, C) float32)."""
+    """Returns (atlas (S, 2, C, NCELL, NCELL), tops/bots (S, 2, C) int32,
+    advs/inkls/inkrs (S, 2, C) float32 native px,
+    sel tables (2, C) float32 in em units: ascent, adv, inkl, inkr)."""
     from pygame import freetype
 
     from .glyph import _DEFAULT_FONT, _ensure_pygame
@@ -96,36 +110,37 @@ def build_atlas(shape=(32, 128), font_path: str = None):
     font.antialiased = True
     font.origin = True
 
-    h, w = shape
     n = len(DIC_36)
-    atlas = np.zeros((2, n + 1, CELL, CELL), np.float32)
-    tops = np.full((2, n + 1), CELL, np.int32)  # blank = neutral band
-    bots = np.zeros((2, n + 1), np.int32)
-    advs = np.ones((2, n + 1), np.float32)
-    inkls = np.zeros((2, n + 1), np.float32)
-    inkrs = np.ones((2, n + 1), np.float32)
+    n_sizes = SIZE_MAX - SIZE_MIN + 1
+    atlas = np.zeros((n_sizes, 2, n + 1, NCELL, NCELL), np.float32)
+    tops = np.full((n_sizes, 2, n + 1), NCELL, np.int32)  # blank = neutral band
+    bots = np.zeros((n_sizes, 2, n + 1), np.int32)
+    advs = np.ones((n_sizes, 2, n + 1), np.float32)
+    inkls = np.zeros((n_sizes, 2, n + 1), np.float32)
+    inkrs = np.ones((n_sizes, 2, n + 1), np.float32)
+    sel_ascent = np.zeros((2, n + 1), np.float32)
+    sel_adv = np.full((2, n + 1), 1.0 / SIZE_REF, np.float32)
+    sel_inkl = np.zeros((2, n + 1), np.float32)
+    sel_inkr = np.full((2, n + 1), 1.0 / SIZE_REF, np.float32)
+
     for i, ch in enumerate(DIC_36):
         for case, c in ((0, ch), (1, ch.upper())):
-            cell, top, bot, adv, ink_l, ink_r = _render_char_cell(font, c)
-            atlas[case, i + 1] = cell
-            tops[case, i + 1] = top
-            bots[case, i + 1] = bot
-            advs[case, i + 1] = adv
-            inkls[case, i + 1] = ink_l
-            inkrs[case, i + 1] = ink_r
+            for si, size in enumerate(range(SIZE_MIN, SIZE_MAX + 1)):
+                cell, top, bot, adv, ink_l, ink_r, _asc = _render_char_native(font, c, size)
+                atlas[si, case, i + 1] = cell
+                tops[si, case, i + 1] = top
+                bots[si, case, i + 1] = bot
+                advs[si, case, i + 1] = adv
+                inkls[si, case, i + 1] = ink_l
+                inkrs[si, case, i + 1] = ink_r
+            # em-unit selection metrics from a clean large render
+            _, _, _, adv_r, inkl_r, inkr_r, asc_r = _render_char_native(font, c, SIZE_REF)
+            sel_ascent[case, i + 1] = asc_r / SIZE_REF
+            sel_adv[case, i + 1] = adv_r / SIZE_REF
+            sel_inkl[case, i + 1] = inkl_r / SIZE_REF
+            sel_inkr[case, i + 1] = inkr_r / SIZE_REF
 
-    # bank of row matrices: band [top, bot) → full canvas height
-    row_bank = np.zeros(((CELL + 1) * (CELL + 1), h, CELL), np.float32)
-    for top in range(CELL):
-        for bot in range(top + 1, CELL + 1):
-            m = resize_matrix(bot - top, h, "bicubic", False)  # (h, bot-top)
-            full = np.zeros((h, CELL), np.float32)
-            full[:, top:bot] = m
-            row_bank[top * (CELL + 1) + bot] = full
-    # identity-ish fallback for degenerate bands
-    row_bank[0] = np.pad(resize_matrix(CELL, h, "bicubic", False), ((0, 0), (0, 0)))
-
-    return atlas, tops, bots, row_bank, advs, inkls, inkrs
+    return atlas, tops, bots, advs, inkls, inkrs, (sel_ascent, sel_adv, sel_inkl, sel_inkr)
 
 
 def _cubic_weight_jnp(t, a: float = -0.75):
@@ -142,29 +157,41 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
     """Returns a jit-safe fn (char_ids (B, 25) int32 1-based, lengths (B,)
     int32) → (B, H, W, 2) float32 glyph priors at uint8 value scale.
 
-    Proportional composition: each char contributes its TRUE advance width
-    (pygame.freetype applies no kerning, so the host word layout is exactly
-    advance concatenation); the word's horizontal ink box [first char's ink
-    left, last char's ink right) is stretched edge-to-edge like the host
-    tight-crop (render_standard_text.py:70).  The per-sample column resize
-    matrix is built on device by evaluating the bicubic kernel densely over
-    (strip pixel, canvas column) — pure VPU work, no gathers."""
+    Size-bucketed proportional composition at native glyph resolution: the
+    per-word font size the host binary-searches
+    (render_standard_text.py:36-58) is predicted from em metrics and selects
+    a per-size atlas slice, reproducing size-dependent hinting; each char
+    contributes its TRUE advance box at that size (pygame.freetype applies
+    no kerning, so the host word layout is exactly advance concatenation);
+    the word's ink box is stretched edge-to-edge like the host tight-crop
+    (render_standard_text.py:70).  Both per-sample resample matrices are
+    built on device by evaluating the bicubic kernel densely — pure VPU
+    work, no gathers."""
     import jax.numpy as jnp
 
-    atlas_np, tops_np, bots_np, row_bank_np, advs_np, inkls_np, inkrs_np = build_atlas(
+    (atlas_np, tops_np, bots_np, advs_np, inkls_np, inkrs_np, sel_np) = build_atlas(
         tuple(shape), font_path
     )
-    atlas = jnp.asarray(atlas_np)
-    tops = jnp.asarray(tops_np)
-    bots = jnp.asarray(bots_np)
-    row_bank = jnp.asarray(row_bank_np)
-    advs = jnp.asarray(advs_np)
-    inkls = jnp.asarray(inkls_np)
-    inkrs = jnp.asarray(inkrs_np)
+    n_sizes, _, n_chars = atlas_np.shape[:3]
+    # flatten (size, case, char) so one take serves the 3-level gather
+    atlas = jnp.asarray(atlas_np.reshape(-1, NCELL, NCELL))
+    tops = jnp.asarray(tops_np.reshape(-1))
+    bots = jnp.asarray(bots_np.reshape(-1))
+    advs = jnp.asarray(advs_np.reshape(-1))
+    inkls = jnp.asarray(inkls_np.reshape(-1))
+    inkrs = jnp.asarray(inkrs_np.reshape(-1))
+    sel_ascent = jnp.asarray(sel_np[0])
+    sel_adv = jnp.asarray(sel_np[1])
+    sel_inkl = jnp.asarray(sel_np[2])
+    sel_inkr = jnp.asarray(sel_np[3])
     h, w = shape
-    s_pix = np.arange(MAX_LEN * CELL)
-    cell_of_s = jnp.asarray(s_pix // CELL, jnp.int32)  # static char index per strip px
-    off_of_s = jnp.asarray((s_pix % CELL + 0.5) / CELL, jnp.float32)
+    border = int(min(shape) * 0.1)
+    target_h = float(h - 2 * border)
+    target_w = float(w - 2 * border)
+    s_pix = np.arange(MAX_LEN * NCELL)
+    cell_of_s = jnp.asarray(s_pix // NCELL, jnp.int32)  # static char index per strip px
+    off_of_s = jnp.asarray(s_pix % NCELL, jnp.float32)  # native px within the cell
+    rows_px = jnp.arange(NCELL, dtype=jnp.float32)
 
     def glyph_fn(char_ids, lengths):
         b = char_ids.shape[0]
@@ -172,35 +199,63 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
         pos = jnp.arange(MAX_LEN)[None, :]
         active = pos < lengths_c[:, None]
         ids = jnp.where(active, char_ids, 0)
-        ids = jnp.clip(ids, 0, atlas.shape[1] - 1)
+        ids = jnp.clip(ids, 0, n_chars - 1)
         last = (lengths_c - 1)[:, None]
         ids_last = jnp.take_along_axis(ids, last, axis=1)[:, 0]
 
         outs = []
         for case in (0, 1):
-            cells = atlas[case][ids]  # (B, 25, CELL, CELL)
-            strip = cells.transpose(0, 2, 1, 3).reshape(b, CELL, MAX_LEN * CELL)
-            top = jnp.min(jnp.where(active, tops[case][ids], CELL), axis=1)
-            bot = jnp.max(jnp.where(active, bots[case][ids], 0), axis=1)
-            valid = bot > top
-            idx = jnp.where(valid, top * (CELL + 1) + bot, 0)
-            rrow_sel = row_bank[idx]  # (B, H, CELL)
+            # --- host font-size prediction (em metrics, floor = the search's
+            # largest-fitting-size fixed point)
+            asc_w = jnp.max(jnp.where(active, sel_ascent[case][ids], 0.0), axis=1)
+            a_em = jnp.where(active, sel_adv[case][ids], 0.0)
+            cum_em = jnp.cumsum(a_em, axis=1) - a_em
+            span_em = (
+                jnp.take_along_axis(cum_em, last, axis=1)[:, 0]
+                + sel_inkr[case][ids_last]
+                - sel_inkl[case][ids[:, 0]]
+            )
+            f = jnp.minimum(
+                target_h / jnp.maximum(asc_w, 1e-3), target_w / jnp.maximum(span_em, 1e-3)
+            )
+            sbi = jnp.clip(jnp.floor(f + 1e-4).astype(jnp.int32) - SIZE_MIN, 0, n_sizes - 1)
 
-            # per-sample proportional column map (native-px units)
-            a = jnp.where(active, advs[case][ids], 0.0)  # (B, 25)
+            # --- 3-level gather (size, case, char) via the flattened tables
+            flat = (sbi[:, None] * 2 + case) * n_chars + ids  # (B, 25)
+            cells = atlas[flat]  # (B, 25, NCELL, NCELL)
+            strip = cells.transpose(0, 2, 1, 3).reshape(b, NCELL, MAX_LEN * NCELL)
+
+            # --- rows: word ink band [min top, max bot) → canvas height,
+            # dense bicubic map built on device
+            top = jnp.min(jnp.where(active, tops[flat], NCELL), axis=1).astype(jnp.float32)
+            bot = jnp.max(jnp.where(active, bots[flat], 0), axis=1).astype(jnp.float32)
+            valid = bot > top
+            bandh = jnp.maximum(bot - top, 1.0)
+            src_r = top[:, None] + (jnp.arange(h, dtype=jnp.float32)[None, :] + 0.5) * bandh[
+                :, None
+            ] / h - 0.5
+            mr = _cubic_weight_jnp(rows_px[None, None, :] - src_r[:, :, None])  # (B, H, NCELL)
+            mr = mr / jnp.maximum(jnp.sum(mr, axis=2, keepdims=True), 1e-6)
+
+            # --- columns: per-sample proportional map in native px; strip
+            # px beyond each char's advance are padding and masked out
+            a = jnp.where(active, advs[flat], 0.0)  # (B, 25)
             cum = jnp.cumsum(a, axis=1) - a  # exclusive
-            minx = inkls[case][ids[:, 0]]  # (B,)
-            maxx = jnp.take_along_axis(cum, last, axis=1)[:, 0] + inkrs[case][ids_last]
+            flat_first = (sbi * 2 + case) * n_chars + ids[:, 0]
+            flat_last = (sbi * 2 + case) * n_chars + ids_last
+            minx = inkls[flat_first]  # (B,)
+            maxx = jnp.take_along_axis(cum, last, axis=1)[:, 0] + inkrs[flat_last]
             span = jnp.maximum(maxx - minx, 1.0)
             # canvas column centers → native-px source coordinates
             src = minx[:, None] + (jnp.arange(w)[None, :] + 0.5) * span[:, None] / w - 0.5
-            # strip pixel centers in native-px coordinates
-            u = cum[:, cell_of_s] + off_of_s[None, :] * a[:, cell_of_s]  # (B, 25*CELL)
-            m = _cubic_weight_jnp(u[:, :, None] - src[:, None, :])  # (B, 25*CELL, W)
-            m = m * active[:, :, None].repeat(CELL, axis=1)
-            m = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1e-6)
+            # strip pixel centers in native-px word coordinates
+            u = cum[:, cell_of_s] + off_of_s[None, :] + 0.5  # (B, 25*NCELL)
+            in_adv = (off_of_s[None, :] < a[:, cell_of_s]) & active[:, cell_of_s]
+            mc = _cubic_weight_jnp(u[:, :, None] - 0.5 - src[:, None, :])  # (B, 25*NCELL, W)
+            mc = mc * in_adv[:, :, None]
+            mc = mc / jnp.maximum(jnp.sum(mc, axis=1, keepdims=True), 1e-6)
 
-            canvas = jnp.einsum("brh,bhw,bwc->brc", rrow_sel, strip, m)
+            canvas = jnp.einsum("brh,bhw,bwc->brc", mr, strip, mc)
             canvas = jnp.where((valid & (lengths > 0))[:, None, None], canvas, 0.0)
             outs.append(canvas)
         return jnp.stack(outs, axis=-1)  # (B, H, W, 2)

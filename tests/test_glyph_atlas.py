@@ -45,7 +45,7 @@ def test_atlas_proportional_close_to_host():
             b = (b - b.mean()) / (b.std() + 1e-6)
             corrs.append(float((a * b).mean()))
     mean = float(np.mean(corrs))
-    assert mean > 0.85, f"proportional atlas/host mean correlation too low: {mean}"
+    assert mean > 0.93, f"proportional atlas/host mean correlation too low: {mean}"
 
 
 def test_atlas_close_to_host_render_mono():
