@@ -251,6 +251,39 @@ class DPMNSystem:
             out = self.psn.apply(frozen["psn"], images_lr, train=False)
         return jax.lax.stop_gradient(out)
 
+    def _cast_student(self, student_vars, vl_in):
+        if self.student_dtype is not None:
+            dt = jnp.dtype(self.student_dtype)
+            cast = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+            student_vars = jax.tree_util.tree_map(cast, student_vars)
+            vl_in = vl_in.astype(dt)
+        return student_vars, vl_in
+
+    def _glyph_priors_shared(self, frozen, images):
+        """All b1 glyph priors from ONE image — the test() quirk
+        (super_resolution.py:648): every student reads images_lr_psn.  The
+        b1 students are independent given the shared input, so they run as a
+        single vmapped call over stacked params (one b1-times-wider MXU pass
+        instead of b1 sequential ones); the prior composition batches the
+        same way.  Returns a list of b1 (B, H, W, 2) priors."""
+        b = images.shape[0]
+        h, w = self.hr_shape
+        if self.glyph_mode == "zeros":
+            z = jnp.zeros((b, h, w, 2), images.dtype)
+            return [z] * self.b1
+        vl_in = parse_visionlan_input(images[..., :3])
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[frozen[f"student_{k}"] for k in range(self.b1)]
+        )
+        stacked, vl_in = self._cast_student(stacked, vl_in)
+        logits, lengths = jax.vmap(
+            lambda v: self.student.apply(v, vl_in, train=False)
+        )(stacked)  # (b1, B, 25, C), (b1, B)
+        preds = logits.argmax(-1).astype(jnp.int32).reshape(self.b1 * b, -1)
+        lengths = lengths.astype(jnp.int32).reshape(self.b1 * b)
+        priors = self._prior_from_preds(preds, lengths, b * self.b1, images.dtype)
+        return [priors[k * b : (k + 1) * b] for k in range(self.b1)]
+
     def _glyph_prior(self, frozen, k, cascade_images):
         """Recognize the cascade image and render the 2-channel glyph prior.
 
@@ -265,16 +298,14 @@ class DPMNSystem:
         if self.glyph_mode == "zeros":
             return jnp.zeros((b, h, w, 2), cascade_images.dtype)
         vl_in = parse_visionlan_input(cascade_images[..., :3])
-        student_vars = frozen[f"student_{k}"]
-        if self.student_dtype is not None:
-            dt = jnp.dtype(self.student_dtype)
-            cast = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
-            student_vars = jax.tree_util.tree_map(cast, student_vars)
-            vl_in = vl_in.astype(dt)
+        student_vars, vl_in = self._cast_student(frozen[f"student_{k}"], vl_in)
         logits, lengths = self.student.apply(student_vars, vl_in, train=False)
         preds = logits.argmax(-1).astype(jnp.int32)  # (B, 25), 0 = EOS
         lengths = lengths.astype(jnp.int32)
+        return self._prior_from_preds(preds, lengths, b, cascade_images.dtype)
 
+    def _prior_from_preds(self, preds, lengths, b, dtype):
+        h, w = self.hr_shape
         if self.glyph_mode == "atlas":
             pos = jnp.arange(preds.shape[1])[None, :]
             ids = jnp.where(pos < lengths[:, None], preds, 0)
@@ -284,7 +315,7 @@ class DPMNSystem:
             ids = jnp.take_along_axis(ids, order, axis=1)
             eff_len = jnp.sum((ids > 0).astype(jnp.int32), axis=1)
             glyphs = self._device_glyph(ids, eff_len)
-            return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
+            return jax.lax.stop_gradient(glyphs.astype(dtype))
 
         font_path = self.args.font_path
 
@@ -293,7 +324,7 @@ class DPMNSystem:
 
         out_shape = jax.ShapeDtypeStruct((b, h, w, 2), jnp.float32)
         glyphs = jax.pure_callback(host_render, out_shape, preds, lengths)
-        return jax.lax.stop_gradient(glyphs.astype(cascade_images.dtype))
+        return jax.lax.stop_gradient(glyphs.astype(dtype))
 
     def _cascade(self, params, batch_stats, frozen, images_lr_psn, images_hr, train, rngs,
                  glyph_from_psn: bool = False):
@@ -323,10 +354,12 @@ class DPMNSystem:
         # ---- branch 1: graphic prior (:174-213)
         cascade = images_lr_psn
         b1_list = []
+        # test() quirk: students read images_lr_psn every iteration instead
+        # of the cascade (super_resolution.py:648) — which makes the b1
+        # student passes independent, so they run as one vmapped call
+        shared_priors = self._glyph_priors_shared(frozen, images_lr_psn) if glyph_from_psn else None
         for k in range(self.b1):
-            # test() quirk: students read images_lr_psn every iteration
-            # instead of the cascade (super_resolution.py:648)
-            x_q = self._glyph_prior(frozen, k, images_lr_psn if glyph_from_psn else cascade)
+            x_q = shared_priors[k] if glyph_from_psn else self._glyph_prior(frozen, k, cascade)
             sr = apply_pgrm(k, x_q, cascade[..., :3], b1_list[:k])
             b1_list.append(sr)
             cascade = sr

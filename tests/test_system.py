@@ -92,6 +92,35 @@ def test_bf16_students_match_fp32_predictions():
     assert np.isfinite(np.asarray(sr)).all()
 
 
+def test_glyph_atlas_mode():
+    """The TPU serving path: device-side glyph composition inside sr_forward."""
+    system = tiny_system(glyph_mode="atlas")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(6).rand(2, 16, 64, 4), jnp.float32)
+    sr = system.sr_forward(state, lr)
+    assert sr.shape == (2, 32, 128, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_glyph_from_psn_batched_matches_sequential():
+    """The test()-path shared-input priors (one vmapped student stack) must
+    equal running each student sequentially (super_resolution.py:648)."""
+    system = tiny_system(glyph_mode="callback", b1=2, b2=1)
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    # de-duplicate the students (init uses one key for all) so a k-indexing
+    # bug cannot hide
+    state["frozen"]["student_1"] = jax.tree_util.tree_map(
+        lambda t: t * 1.07 if hasattr(t, "dtype") and t.dtype == jnp.float32 else t,
+        state["frozen"]["student_1"],
+    )
+    img = jnp.asarray(np.random.RandomState(7).rand(2, 32, 128, 3), jnp.float32)
+    shared = system._glyph_priors_shared(state["frozen"], img)
+    assert len(shared) == 2
+    for k in range(2):
+        seq = system._glyph_prior(state["frozen"], k, img)
+        np.testing.assert_allclose(np.asarray(shared[k]), np.asarray(seq), atol=1e-3)
+
+
 def test_glyph_callback_mode():
     system = tiny_system(glyph_mode="callback")
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
