@@ -167,23 +167,32 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
     (render_standard_text.py:70).  Both per-sample resample matrices are
     built on device by evaluating the bicubic kernel densely — pure VPU
     work, no gathers."""
+    import jax
     import jax.numpy as jnp
 
     (atlas_np, tops_np, bots_np, advs_np, inkls_np, inkrs_np, sel_np) = build_atlas(
         tuple(shape), font_path
     )
     n_sizes, _, n_chars = atlas_np.shape[:3]
-    # flatten (size, case, char) so one take serves the 3-level gather
-    atlas = jnp.asarray(atlas_np.reshape(-1, NCELL, NCELL))
-    tops = jnp.asarray(tops_np.reshape(-1))
-    bots = jnp.asarray(bots_np.reshape(-1))
-    advs = jnp.asarray(advs_np.reshape(-1))
-    inkls = jnp.asarray(inkls_np.reshape(-1))
-    inkrs = jnp.asarray(inkrs_np.reshape(-1))
-    sel_ascent = jnp.asarray(sel_np[0])
-    sel_adv = jnp.asarray(sel_np[1])
-    sel_inkl = jnp.asarray(sel_np[2])
-    sel_inkr = jnp.asarray(sel_np[3])
+    n_flat = n_sizes * 2 * n_chars
+    # flatten (size, case, char) and append the scalar metric columns so ONE
+    # one-hot matmul reads everything — XLA/TPU gathers from a 10 MB table
+    # are an order of magnitude slower than an MXU one-hot contraction
+    # (measured in round 1 on the 4-tap-gather atlas variant)
+    table_np = np.concatenate(
+        [
+            atlas_np.reshape(n_flat, NCELL * NCELL),
+            tops_np.reshape(n_flat, 1).astype(np.float32),
+            bots_np.reshape(n_flat, 1).astype(np.float32),
+            advs_np.reshape(n_flat, 1),
+            inkls_np.reshape(n_flat, 1),
+            inkrs_np.reshape(n_flat, 1),
+        ],
+        axis=1,
+    )
+    table = jnp.asarray(table_np)  # (n_flat, NCELL*NCELL + 5)
+    # per-(case, char) em-metric selection table, also matmul-read
+    sel_table = jnp.asarray(np.stack(sel_np, axis=-1))  # (2, C, 4)
     h, w = shape
     border = int(min(shape) * 0.1)
     target_h = float(h - 2 * border)
@@ -201,34 +210,45 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
         ids = jnp.where(active, char_ids, 0)
         ids = jnp.clip(ids, 0, n_chars - 1)
         last = (lengths_c - 1)[:, None]
-        ids_last = jnp.take_along_axis(ids, last, axis=1)[:, 0]
 
+        oh_char = jax.nn.one_hot(ids, n_chars, dtype=jnp.float32)  # (B, 25, C)
         outs = []
         for case in (0, 1):
             # --- host font-size prediction (em metrics, floor = the search's
-            # largest-fitting-size fixed point)
-            asc_w = jnp.max(jnp.where(active, sel_ascent[case][ids], 0.0), axis=1)
-            a_em = jnp.where(active, sel_adv[case][ids], 0.0)
+            # largest-fitting-size fixed point); metrics read via a small
+            # one-hot matmul
+            sel = oh_char @ sel_table[case]  # (B, 25, 4): ascent, adv, inkl, inkr
+            asc_w = jnp.max(jnp.where(active, sel[..., 0], 0.0), axis=1)
+            a_em = jnp.where(active, sel[..., 1], 0.0)
             cum_em = jnp.cumsum(a_em, axis=1) - a_em
             span_em = (
                 jnp.take_along_axis(cum_em, last, axis=1)[:, 0]
-                + sel_inkr[case][ids_last]
-                - sel_inkl[case][ids[:, 0]]
+                + jnp.take_along_axis(sel[..., 3], last, axis=1)[:, 0]
+                - sel[:, 0, 2]
             )
             f = jnp.minimum(
                 target_h / jnp.maximum(asc_w, 1e-3), target_w / jnp.maximum(span_em, 1e-3)
             )
             sbi = jnp.clip(jnp.floor(f + 1e-4).astype(jnp.int32) - SIZE_MIN, 0, n_sizes - 1)
 
-            # --- 3-level gather (size, case, char) via the flattened tables
+            # --- 3-level (size, case, char) table read as ONE one-hot matmul
+            # on the MXU (bf16 is exact here: every table value is an
+            # integer < 256 and the MXU accumulates in fp32)
             flat = (sbi[:, None] * 2 + case) * n_chars + ids  # (B, 25)
-            cells = atlas[flat]  # (B, 25, NCELL, NCELL)
+            oh = jax.nn.one_hot(flat, n_flat, dtype=jnp.bfloat16)  # (B, 25, n_flat)
+            g = (oh @ table.astype(jnp.bfloat16)).astype(jnp.float32)  # (B, 25, NCELL²+5)
+            cells = g[..., : NCELL * NCELL].reshape(b, MAX_LEN, NCELL, NCELL)
             strip = cells.transpose(0, 2, 1, 3).reshape(b, NCELL, MAX_LEN * NCELL)
+            top_pc = g[..., NCELL * NCELL]
+            bot_pc = g[..., NCELL * NCELL + 1]
+            adv_pc = g[..., NCELL * NCELL + 2]
+            inkl_pc = g[..., NCELL * NCELL + 3]
+            inkr_pc = g[..., NCELL * NCELL + 4]
 
             # --- rows: word ink band [min top, max bot) → canvas height,
             # dense bicubic map built on device
-            top = jnp.min(jnp.where(active, tops[flat], NCELL), axis=1).astype(jnp.float32)
-            bot = jnp.max(jnp.where(active, bots[flat], 0), axis=1).astype(jnp.float32)
+            top = jnp.min(jnp.where(active, top_pc, float(NCELL)), axis=1)
+            bot = jnp.max(jnp.where(active, bot_pc, 0.0), axis=1)
             valid = bot > top
             bandh = jnp.maximum(bot - top, 1.0)
             src_r = top[:, None] + (jnp.arange(h, dtype=jnp.float32)[None, :] + 0.5) * bandh[
@@ -239,12 +259,13 @@ def make_device_glyph_fn(shape=(32, 128), font_path: str = None):
 
             # --- columns: per-sample proportional map in native px; strip
             # px beyond each char's advance are padding and masked out
-            a = jnp.where(active, advs[flat], 0.0)  # (B, 25)
+            a = jnp.where(active, adv_pc, 0.0)  # (B, 25)
             cum = jnp.cumsum(a, axis=1) - a  # exclusive
-            flat_first = (sbi * 2 + case) * n_chars + ids[:, 0]
-            flat_last = (sbi * 2 + case) * n_chars + ids_last
-            minx = inkls[flat_first]  # (B,)
-            maxx = jnp.take_along_axis(cum, last, axis=1)[:, 0] + inkrs[flat_last]
+            minx = inkl_pc[:, 0]  # ink left bearing of the first char
+            maxx = (
+                jnp.take_along_axis(cum, last, axis=1)[:, 0]
+                + jnp.take_along_axis(inkr_pc, last, axis=1)[:, 0]
+            )
             span = jnp.maximum(maxx - minx, 1.0)
             # canvas column centers → native-px source coordinates
             src = minx[:, None] + (jnp.arange(w)[None, :] + 0.5) * span[:, None] / w - 0.5
