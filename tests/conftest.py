@@ -10,7 +10,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU collective rendezvous hard-aborts after 40 s; on a small host the
+# 8 virtual devices time-share few cores, so participants arrive staggered
+# by minutes on big programs (the sharded train step has >1k all-reduces).
+# Raise the deadline — this is a simulation knob, not a prod setting.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
