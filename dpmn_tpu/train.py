@@ -35,11 +35,19 @@ from .utils.seed import set_seed
 
 
 class Trainer:
-    def __init__(self, cfg: TrainCfg, args: Args, glyph_mode: str = "callback"):
+    def __init__(self, cfg: TrainCfg, args: Args, glyph_mode: str | None = None):
         self.cfg = cfg
         self.args = args
         if getattr(args, "debug_nans", False):
             jax.config.update("jax_debug_nans", True)
+        if glyph_mode is None:
+            # this TPU runtime does not support jax.pure_callback inside jit
+            # (CLAUDE.md) — use the device atlas there; the bit-parity host
+            # renderer everywhere callbacks work
+            glyph_mode = os.environ.get(
+                "DPMN_TPU_GLYPH_MODE",
+                "atlas" if jax.default_backend() == "tpu" else "callback",
+            )
         self.system = DPMNSystem(cfg, args, glyph_mode=glyph_mode)
         self.batch_size = args.batch_size or cfg.batch_size
         self.rng = set_seed(cfg.manualSeed)

@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/dpmn_trace")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--train", action="store_true", help="trace the joint train step instead of eval")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -75,14 +76,27 @@ def main():
         rng = np.random.RandomState(0)
         images_lr = jnp.asarray(rng.rand(args.batch, 16, 64, 4), jnp.float32)
 
-        sr = system.sr_forward(state, images_lr)
-        sr.block_until_ready()
-
-        os.system(f"rm -rf {args.logdir}")
-        with jax.profiler.trace(args.logdir):
-            for _ in range(args.iters):
-                sr = system.sr_forward(state, images_lr)
+        if args.train:
+            images_hr = jnp.asarray(rng.rand(args.batch, 32, 128, 4), jnp.float32)
+            key = jax.random.PRNGKey(1)
+            state, metrics = system.train_step(state, images_hr, images_lr, key)
+            jax.block_until_ready(metrics)
+            os.system(f"rm -rf {args.logdir}")
+            with jax.profiler.trace(args.logdir):
+                for i in range(args.iters):
+                    state, metrics = system.train_step(
+                        state, images_hr, images_lr, jax.random.fold_in(key, i)
+                    )
+                jax.block_until_ready(metrics)
+        else:
+            sr = system.sr_forward(state, images_lr)
             sr.block_until_ready()
+
+            os.system(f"rm -rf {args.logdir}")
+            with jax.profiler.trace(args.logdir):
+                for _ in range(args.iters):
+                    sr = system.sr_forward(state, images_lr)
+                sr.block_until_ready()
 
     summarize(args.logdir, args.iters, args.top)
 
