@@ -1,0 +1,284 @@
+"""Training-path Pallas kernels for PGRM's grouped window cross-attention.
+
+The eval path runs the fully-fused forward kernel (ops/pallas_window.py);
+training previously fell back to the XLA formulation because pallas_call
+has no autodiff — the joint train step spent most of its 312 ms in the XLA
+window attention forward+backward and its layout churn.  This module gives
+the attention core a custom VJP with hand-written forward AND backward
+kernels:
+
+  forward  (B,H,W,dim) q/k/v → faithful-layout attention out (B,H,W,dim)
+           with attention dropout generated in-kernel (pltpu PRNG)
+  backward recomputes windows/scores/probs per (group, batch) tile
+           (flash-attention style — nothing but the primal inputs is saved),
+           regenerates the identical dropout mask by reseeding the PRNG
+           with the same per-(batch, group) seed, and emits dq, dk, dv and
+           the packed-bias gradient.
+
+Scores use the packed MXU formulation of ops/pallas_window.py:
+128-row tiles of whole windows against the additive packed bias
+(build_packed_bias), so ws=2 windows don't degrade into 4x4 dots.
+Cross-window score entries sit at -1e9 in the packed bias → their probs
+and dS vanish, so dropout on the dense 128x128 tile is semantically the
+reference's per-window dropout.
+
+Semantics mirror model/pgrm.py:184-271 (reference) with the faithful raw
+re-layout (pgrm.py:263); dropout follows nn.Dropout: keep w.p. keep_prob,
+scale kept entries by 1/keep_prob.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _part_rows(t, ws, h, w, ch):
+    """(H, W, ch) → (H*W, ch) window-major rows (the packed row order)."""
+    hb, wb = h // ws, w // ws
+    t = t.reshape(hb, ws, wb, ws, ch)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+    return t.reshape(h * w, ch)
+
+
+def _unpart_rows(rows, ws, h, w, ch):
+    """Inverse of _part_rows: (H*W, ch) window-major rows → (H, W, ch)."""
+    hb, wb = h // ws, w // ws
+    t = rows.reshape(hb, wb, ws, ws, ch)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+    return t.reshape(h, w, ch)
+
+
+def _dropout_mask(shape, keep_prob):
+    """0 / (1/keep) float mask from the seeded in-kernel PRNG."""
+    bits = pltpu.prng_random_bits(shape)  # int32 bits
+    # uniform in [0, 2^31): use the non-negative 31 bits so the threshold
+    # compare stays in int32
+    u = jax.lax.bitwise_and(bits, np.int32(0x7FFFFFFF))
+    thresh = np.int32(min(int(keep_prob * 2147483648.0), 2147483647))
+    return jnp.where(u < thresh, np.float32(1.0 / keep_prob), np.float32(0.0))
+
+
+def _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
+              scale, keep_prob, interpret):
+    b, h, w, dim = q3.shape
+    hw = h * w
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    use_dropout = keep_prob < 1.0
+
+    def kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
+        i = pl.program_id(0)
+        qb3, kb3, vb3 = q_ref[0], k_ref[0], v_ref[0]
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            sl = slice(g * channel, (g + 1) * channel)
+            qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+            if sh > 0:
+                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+            qw = _part_rows(qg, ws, h, w, channel) * scale
+            kw = _part_rows(kg, ws, h, w, channel)
+            vw = _part_rows(vg, ws, h, w, channel)
+            for hd in range(gnum_heads):
+                hsl = slice(hd * gch, (hd + 1) * gch)
+                qp = qw[:, hsl].reshape(npack, 128, gch)
+                kp = kw[:, hsl].reshape(npack, 128, gch)
+                vp = vw[:, hsl].reshape(npack, 128, gch)
+                scores = jax.lax.dot_general(
+                    qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                ) + bias_ref[g, hd]
+                probs = jax.nn.softmax(scores, axis=-1)
+                if use_dropout:
+                    probs = probs * _dropout_mask((npack, 128, 128), keep_prob)
+                out = jax.lax.dot_general(
+                    probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                )
+                lo = g * channel + hd * gch
+                # faithful raw re-layout (pgrm.py:263) == packed row order
+                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_bias.shape, lambda i: (0,) * packed_bias.ndim, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, dim), q3.dtype),
+        interpret=interpret,
+    )(seed, q3, k3, v3, packed_bias)
+
+
+def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
+              gnum_heads, scale, keep_prob, interpret):
+    b, h, w, dim = q3.shape
+    hw = h * w
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    heads = gnum_heads
+    use_dropout = keep_prob < 1.0
+
+    def kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, dout_ref,
+               dq_ref, dk_ref, dv_ref, dbias_ref):
+        i = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when((i == 0) & (g == 0))
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        # one (batch, group) tile per step; group is the FAST grid axis so
+        # the dq/dk/dv blocks for batch element i are revisited on
+        # consecutive steps (their channel slices fill across the g visits),
+        # while the constant-index dbias accumulator stays resident for the
+        # whole grid
+        for gg, (ws_, sh_) in enumerate(zip(window_sizes, shifts)):
+
+            @pl.when(g == gg)
+            def _run(ws=ws_, sh=sh_, gg=gg):
+                if use_dropout:
+                    pltpu.prng_seed(seed_ref[0] + i * n_group + gg)
+                csl = slice(gg * channel, (gg + 1) * channel)
+                qg = q_ref[0][..., csl]  # (H, W, channel)
+                kg = k_ref[0][..., csl]
+                vg = v_ref[0][..., csl]
+                if sh > 0:
+                    qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                    kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                    vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+                qw = _part_rows(qg, ws, h, w, channel)
+                kw = _part_rows(kg, ws, h, w, channel)
+                vw = _part_rows(vg, ws, h, w, channel)
+                # fwd wrote faithful layout = packed rows viewed as (H, W, c),
+                # so the incoming cotangent rows are already window-major
+                dow = dout_ref[0][..., csl].reshape(hw, channel)
+                for hd in range(heads):
+                    hsl = slice(hd * gch, (hd + 1) * gch)
+                    qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                    kp = kw[:, hsl].reshape(npack, 128, gch)
+                    vp = vw[:, hsl].reshape(npack, 128, gch)
+                    dop = dow[:, hsl].reshape(npack, 128, gch)
+                    scores = jax.lax.dot_general(
+                        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    ) + bias_ref[0, hd]
+                    probs = jax.nn.softmax(scores, axis=-1)  # (npack,128,128)
+                    if use_dropout:
+                        m = _dropout_mask((npack, 128, 128), keep_prob)
+                        probs_d = probs * m
+                    else:
+                        probs_d = probs
+                    # dV = Pd^T dO
+                    dvp = jax.lax.dot_general(
+                        probs_d, dop, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (npack, 128, gch)
+                    # dPd = dO V^T
+                    dpd = jax.lax.dot_general(
+                        dop, vp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (npack, 128, 128)
+                    dp = dpd * m if use_dropout else dpd
+                    row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+                    ds = probs * (dp - row)  # (npack, 128, 128)
+                    dbias_ref[gg, hd] += ds
+                    # dQ = scale * dS K ; dK = dS^T (scale*Q) (scale inside qp)
+                    dqp = jax.lax.dot_general(
+                        ds, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    ) * scale  # (npack, 128, gch)
+                    dkp = jax.lax.dot_general(
+                        ds, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (npack, 128, gch)
+                    # per-head un-partition + un-roll + write (no scratch)
+                    lo = gg * channel + hd * gch
+                    for dref, rows in ((dq_ref, dqp), (dk_ref, dkp), (dv_ref, dvp)):
+                        d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
+                        if sh > 0:
+                            d3 = jnp.roll(jnp.roll(d3, sh, axis=0), sh, axis=1)
+                        dref[0, :, :, lo : lo + gch] = d3
+
+    grid = (b, n_group)
+    io_block = pl.BlockSpec((1, h, w, dim), lambda i, g: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            io_block,
+            io_block,
+            io_block,
+            pl.BlockSpec(
+                (1, heads, npack, 128, 128),
+                lambda i, g: (g, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            io_block,
+        ],
+        out_specs=[
+            io_block,
+            io_block,
+            io_block,
+            pl.BlockSpec(
+                (n_group, heads, npack, 128, 128),
+                lambda i, g: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, dim), q3.dtype),
+            jax.ShapeDtypeStruct((b, h, w, dim), q3.dtype),
+            jax.ShapeDtypeStruct((b, h, w, dim), q3.dtype),
+            jax.ShapeDtypeStruct((n_group, heads, npack, 128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q3, k3, v3, packed_bias, dout)
+    return dq, dk, dv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def window_attention_core(q3, k3, v3, packed_bias, seed, window_sizes, shifts,
+                          gnum_heads, scale, keep_prob, interpret=False):
+    """Grouped multi-window cross-attention with attention dropout.
+
+    q3/k3/v3: (B, H, W, dim) post-projection; packed_bias from
+    build_packed_bias (n_group, heads, HW//128, 128, 128) carrying the
+    relative-position bias, shift masks and the -1e9 cross-window wall;
+    seed: () int32 — per-step dropout seed (ignored when keep_prob == 1).
+    Returns the faithful-layout attention output (B, H, W, dim), pre-SKConv.
+    """
+    return _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts,
+                     gnum_heads, scale, keep_prob, interpret)
+
+
+def _vjp_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
+             scale, keep_prob, interpret):
+    out = _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts,
+                    gnum_heads, scale, keep_prob, interpret)
+    return out, (q3, k3, v3, packed_bias, seed)
+
+
+def _vjp_bwd(window_sizes, shifts, gnum_heads, scale, keep_prob, interpret,
+             res, dout):
+    q3, k3, v3, packed_bias, seed = res
+    dq, dk, dv, dbias = _core_bwd(q3, k3, v3, packed_bias, seed, dout,
+                                  window_sizes, shifts, gnum_heads, scale,
+                                  keep_prob, interpret)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
+
+
+window_attention_core.defvjp(_vjp_fwd, _vjp_bwd)

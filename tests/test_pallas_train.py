@@ -1,0 +1,101 @@
+"""Training-path window-attention core: forward + custom-VJP backward parity
+against a pure-jnp restatement of the same packed formulation (interpret
+mode, dropout off — the dropout path needs the TPU PRNG and is validated on
+device by tools/verify_train_kernel_tpu.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpmn_tpu.ops.pallas_window import build_packed_bias
+from dpmn_tpu.ops.pallas_window_train import window_attention_core
+
+H, W, DIM = 16, 64, 96
+WINDOWS = (2, 4, 8)
+HEADS = 2
+HW = H * W
+NPACK = HW // 128
+
+
+def jnp_reference(q3, k3, v3, packed_bias, window_sizes, shifts, heads, scale):
+    b, h, w, dim = q3.shape
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // heads
+    outs = jnp.zeros_like(q3)
+    for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+        sl = slice(g * channel, (g + 1) * channel)
+        qg, kg, vg = q3[..., sl], k3[..., sl], v3[..., sl]
+        if sh > 0:
+            qg = jnp.roll(qg, (-sh, -sh), axis=(1, 2))
+            kg = jnp.roll(kg, (-sh, -sh), axis=(1, 2))
+            vg = jnp.roll(vg, (-sh, -sh), axis=(1, 2))
+
+        def part(t):
+            hb, wb = h // ws, w // ws
+            t = t.reshape(b, hb, ws, wb, ws, channel)
+            t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
+            return t.reshape(b, h * w, channel)
+
+        qw, kw, vw = part(qg) * scale, part(kg), part(vg)
+        for hd in range(heads):
+            hsl = slice(hd * gch, (hd + 1) * gch)
+            qp = qw[..., hsl].reshape(b, NPACK, 128, gch)
+            kp = kw[..., hsl].reshape(b, NPACK, 128, gch)
+            vp = vw[..., hsl].reshape(b, NPACK, 128, gch)
+            scores = jnp.einsum("bpnc,bpmc->bpnm", qp, kp) + packed_bias[g, hd][None]
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bpnm,bpmc->bpnc", probs, vp).reshape(b, h, w, gch)
+            lo = g * channel + hd * gch
+            outs = outs.at[..., lo : lo + gch].set(out)
+    return outs
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.RandomState(0)
+    b = 2
+    q3 = jnp.asarray(rng.randn(b, H, W, DIM) * 0.5, jnp.float32)
+    k3 = jnp.asarray(rng.randn(b, H, W, DIM) * 0.5, jnp.float32)
+    v3 = jnp.asarray(rng.randn(b, H, W, DIM), jnp.float32)
+    biases = [jnp.asarray(rng.randn(HEADS, ws * ws, ws * ws) * 0.1, jnp.float32) for ws in WINDOWS]
+    return q3, k3, v3, biases
+
+
+def run_both(inputs, shifts):
+    q3, k3, v3, biases = inputs
+    from dpmn_tpu.models.pgrm import _shift_attn_mask
+
+    masks = [
+        jnp.asarray(_shift_attn_mask(H, W, ws, sh)) if sh > 0 else None
+        for ws, sh in zip(WINDOWS, shifts)
+    ]
+    packed = build_packed_bias(biases, masks, WINDOWS, HW)
+    scale = (DIM // len(WINDOWS) // HEADS) ** -0.5
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_core(q, k, v, pb):
+        out = window_attention_core(q, k, v, pb, seed, WINDOWS, tuple(shifts),
+                                    HEADS, scale, 1.0, True)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    def loss_ref(q, k, v, pb):
+        out = jnp_reference(q, k, v, pb, WINDOWS, shifts, HEADS, scale)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss_core, argnums=(0, 1, 2, 3), has_aux=True)(q3, k3, v3, packed)
+    (l2, o2), g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3), has_aux=True)(q3, k3, v3, packed)
+    return (l1, o1, g1), (l2, o2, g2)
+
+
+@pytest.mark.parametrize("shifts", [(0, 0, 0), (1, 2, 4)])
+def test_core_forward_and_grads_match_reference(inputs, shifts):
+    (l1, o1, g1), (l2, o2, g2) = run_both(inputs, shifts)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    names = ["dq", "dk", "dv", "dbias"]
+    for name, a, b in zip(names, g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=name
+        )
