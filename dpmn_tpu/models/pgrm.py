@@ -330,6 +330,48 @@ class WindowAttention(nn.Module):
         ).reshape(b, h, w, 2 * self.dim)
         k_all, v_all = kv[..., : self.dim], kv[..., self.dim :]
 
+        # training-path Pallas core (custom VJP, in-kernel attention dropout)
+        # — same packed-tile formulation as the eval kernel; LN/projections/
+        # SKConv stay in XLA where flax autodiff handles their grads
+        packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
+        if (
+            _use_pallas_window()
+            and self.faithful
+            and not deterministic
+            and divisible
+            and packed_ok
+            and not self.is_initializing()
+        ):
+            from ..ops.pallas_window import build_packed_bias
+            from ..ops.pallas_window_train import window_attention_core
+
+            biases, masks = [], []
+            for i, (ws, sh) in enumerate(zip(win, shf)):
+                n = ws * ws
+                table = self.param(
+                    f"relative_position_bias_table_{i}", trunc02, ((2 * ws - 1) ** 2, gnum_heads)
+                )
+                rel_idx = _relative_position_index(ws).reshape(-1)
+                biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
+                masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
+            packed = build_packed_bias(biases, masks, win, h * w)
+            scale = self.qk_scale or gchannel**-0.5
+            if self.attn_drop > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+                )
+                keep = 1.0 - float(self.attn_drop)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+                keep = 1.0
+            out3 = window_attention_core(
+                q, k_all, v_all, packed, seed, tuple(win), tuple(shf), gnum_heads,
+                scale, keep, jax.default_backend() != "tpu",
+            )
+            x = SKConv(dim=self.dim, m=n_group)(out3)
+            x = x.reshape(b, h * w, self.dim)
+            return (x, False) if ln is not None else x
+
         x_groups = []
         for i in range(n_group):
             ws, sh = win[i], shf[i]

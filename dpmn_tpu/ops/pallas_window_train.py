@@ -244,6 +244,9 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
             jax.ShapeDtypeStruct((b, h, w, dim), q3.dtype),
             jax.ShapeDtypeStruct((n_group, heads, npack, 128, 128), jnp.float32),
         ],
+        # the resident dbias accumulator + double-buffered io blocks sit just
+        # past the 16 MB default scoped-vmem limit; v5e has far more
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
         interpret=interpret,
     )(seed, q3, k3, v3, packed_bias, dout)
     return dq, dk, dv, dbias

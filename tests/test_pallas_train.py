@@ -89,6 +89,46 @@ def run_both(inputs, shifts):
     return (l1, o1, g1), (l2, o2, g2)
 
 
+def test_window_attention_train_path_matches_xla(monkeypatch):
+    """The wired-in training path (attn_drop=0 so masks don't differ) must
+    reproduce the XLA formulation bit-close, outputs and grads."""
+    import dpmn_tpu.models.pgrm as pgrm_mod
+    from dpmn_tpu.models.pgrm import WindowAttention
+
+    wa = WindowAttention(
+        dim=96, window_size=(2, 4, 8), shift_size=(1, 2, 4), num_heads=6,
+        input_resolution=(16, 64), attn_drop=0.0, faithful=True,
+    )
+    rng = np.random.RandomState(3)
+    x_q = jnp.asarray(rng.randn(2, 16, 64, 96) * 0.5, jnp.float32)
+    x_kv = jnp.asarray(rng.randn(2, 16, 64, 96) * 0.5, jnp.float32)
+    variables = wa.init(jax.random.PRNGKey(0), x_q, x_kv, True)
+
+    def run(mode):
+        monkeypatch.setattr(pgrm_mod, "_PALLAS_WINDOW_MODE", mode)
+
+        def loss(params):
+            out = wa.apply({"params": params}, x_q, x_kv, False,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(jnp.tanh(out)), out
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(variables["params"])
+        return l, o, g
+
+    l1, o1, g1 = run("1")
+    l0, o0, g0 = run("0")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(g0))
+    for path, a in flat1:
+        b = flat0[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.parametrize("shifts", [(0, 0, 0), (1, 2, 4)])
 def test_core_forward_and_grads_match_reference(inputs, shifts):
     (l1, o1, g1), (l2, o2, g2) = run_both(inputs, shifts)
