@@ -3,17 +3,24 @@
 
 Measures the full eval-path throughput of the TATT+DPMN dual-branch system
 (BASELINE.json config 3): frozen CRNN text prior → TATT PSN → 3+3 PGRM
-cascade with VisionLAN glyph priors (memoized host render) and device mask
-priors → CMM fusion → α-blend.  This is what TextZoom evaluation and
-serving run per image.
+cascade with VisionLAN glyph priors and device mask priors → CMM fusion →
+α-blend.  This is what TextZoom evaluation and serving run per image.
+
+Also reported in the same JSON line:
+  * mfu            — achieved FLOP/s (XLA cost_analysis of the compiled
+                     graph) ÷ chip peak bf16 FLOP/s.  The graph runs fp32
+                     (quirk-exact), so this understates what a bf16 serving
+                     build would reach; it is the honest roofline anchor.
+  * achieved_tflops— the numerator, for the record.
+  * torch_anchor_* — measured reference throughput from
+                     BASELINE_MEASURED.json (tools/bench_torch_reference.py:
+                     the ACTUAL reference code on this host's CPU — no GPU
+                     exists here), when available.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
-denominator used here is 100 images/sec — an optimistic estimate for the
-PyTorch reference pipeline on a V100-class GPU, where the per-sample
-host-side VisionLAN inference + pygame glyph rendering inside the batch
-loop (interfaces/super_resolution.py:389-406) dominates and caps
-throughput at tens of images/sec.  Supersede with a measured torch number
-when the reference can be run on identical data.
+denominator stays the assumed 100 images/sec for a V100-class GPU so the
+series is comparable across rounds.  The measured host-CPU anchor is
+reported alongside.
 """
 
 import json
@@ -31,6 +38,24 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 100.0
+
+# peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
+_PEAK_BF16 = (
+    ("v6", 918e12),  # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / v5 lite
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def _peak_flops(device_kind: str) -> float:
+    dk = device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in dk:
+            return peak
+    return 197e12  # conservative default
 
 
 def main():
@@ -59,16 +84,46 @@ def main():
     dt = time.time() - t0
 
     imgs_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "SR images/sec/chip (TATT+DPMN 3+3 eval pipeline, TextZoom shapes)",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3),
-            }
-        )
-    )
+
+    # analytic FLOPs of the compiled eval graph (the reference only has
+    # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
+    # the whole pipeline instead)
+    mfu = achieved_tflops = graph_tflop = None
+    try:
+        compiled = system.sr_forward.lower(state, images_lr, False).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            graph_tflop = flops / 1e12
+            achieved = flops * iters / dt
+            achieved_tflops = achieved / 1e12
+            mfu = achieved / _peak_flops(jax.devices()[0].device_kind)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "SR images/sec/chip (TATT+DPMN 3+3 eval pipeline, TextZoom shapes)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["achieved_tflops"] = round(achieved_tflops, 2)
+        out["graph_tflop_per_batch"] = round(graph_tflop, 3)
+        out["device"] = jax.devices()[0].device_kind
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        a = anchor.get("torch_reference_imgs_per_sec")
+        if a:
+            out["torch_anchor_imgs_per_sec"] = a
+            out["torch_anchor_device"] = anchor.get("device", "")
+            out["vs_torch_anchor"] = round(imgs_per_sec / a, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

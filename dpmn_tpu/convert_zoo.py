@@ -177,8 +177,10 @@ def _pp_layer(sd, prefix):
     }
 
 
-def convert_visionlan(sd):
-    """VisionLAN (VisionLAN.py:142-167)."""
+def convert_visionlan(sd, mlm: bool = True):
+    """VisionLAN (VisionLAN.py:142-167).  mlm=False skips the train-only MLM
+    occlusion branch (+ pp_share/w_share) for import into an eval-path tree
+    initialized with train=False."""
     p, bs = {}, {}
     bb_p, bb_bs = {}, {}
     bb_p["Conv_0"] = _conv(sd, "backbone.conv1_new")
@@ -203,7 +205,7 @@ def convert_visionlan(sd):
     p["SequenceModeling"], _ = _vl_encoder(sd, "MLM_VRM.SequenceModeling", 3)
     p["pp"] = _pp_layer(sd, "MLM_VRM.Prediction.pp")
     p["w_vrm"] = _dense(sd, "MLM_VRM.Prediction.w_vrm")
-    if "MLM_VRM.MLM.pos_embedding.weight" in sd:
+    if mlm and "MLM_VRM.MLM.pos_embedding.weight" in sd:
         mlm = {}
         mlm["MLM_SequenceModeling_mask"], _ = _vl_encoder(sd, "MLM_VRM.MLM.MLM_SequenceModeling_mask", 2)
         mlm["MLM_SequenceModeling_WCL"], _ = _vl_encoder(sd, "MLM_VRM.MLM.MLM_SequenceModeling_WCL", 1)

@@ -1,5 +1,12 @@
 """Graphic-prior glyph rendering.
 
+License note: `render_normal` / `make_standard_text` are deliberately close
+derivations of the reference's utils/render_standard_text.py:13-71 (which
+carries a Netease/GPL header) — this file is the designated bit-parity host
+oracle for the glyph prior, so the pygame call sequence, the 20-alpha
+threshold and the binary-search sizing must match that implementation
+exactly or parity breaks.
+
 Parity: reference utils/render_standard_text.py:13-71 — binary-search font
 sizing so the word fits the padded canvas, render via pygame.freetype,
 tight-crop the alpha channel, rescale-if-overflow, then cv2 INTER_CUBIC

@@ -45,6 +45,14 @@ import numpy as np
 
 from ..utils.labels import DIC_36
 
+# NOTE on the size-fit criterion (round-1 ADVICE follow-up): the host's
+# binary search compares target_shape against rect[1:3] of
+# freetype.get_rect — i.e. (y, w) = (ASCENT, width), NOT the full ink rect
+# (verified: get_rect('gap') → (x=1, y=11, w=36, h=15); the search reads
+# y=11, excluding the descender).  render_standard_text.py:42-43.  The
+# ascent-only fit in the selection tables below is therefore the faithful
+# one; descenders only matter in the overflow rescale, which the band
+# stretch reproduces.
 MONO_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
 NCELL = 64  # native cell: fits band_h(36) = 50 rows and the widest advance
 MAX_LEN = 25

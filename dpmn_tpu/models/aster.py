@@ -273,7 +273,13 @@ class RecognizerBuilder(nn.Module):
         x = images
         if self.stn_on:
             stn_input = resize(x, (32, 64), mode="bilinear", align_corners=True)
-            _, ctrl = STNHead(num_ctrlpoints=20, activation="none", name="stn_head")(stn_input, train)
+            # ASTER uses the recognizer stn_head variant (all-2x2 pools,
+            # 512-wide flatten on its 32x64 input —
+            # model/recognizer/stn_head.py:26-47), NOT the PSN one; caught
+            # by the round-2 torch-oracle differential (tests/test_aster_oracle.py)
+            _, ctrl = STNHead(
+                num_ctrlpoints=20, activation="none", variant="recognizer", name="stn_head"
+            )(stn_input, train)
             x, _ = TPSSpatialTransformer((32, 100), 20, (0.05, 0.05))(x, ctrl)
         feats = ResNetAster(name="encoder")(x, train)
         head = AttentionRecognitionHead(

@@ -357,8 +357,10 @@ class WindowAttention(nn.Module):
             packed = build_packed_bias(biases, masks, win, h * w)
             scale = self.qk_scale or gchannel**-0.5
             if self.attn_drop > 0.0:
+                # headroom so the kernel's seed_ref[0] + i*n_group + g offset
+                # (ops/pallas_window_train.py) cannot wrap int32 (ADVICE r1)
                 seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+                    self.make_rng("dropout"), (1,), 0, np.int32(2**31 - 1 - 2**20), dtype=jnp.int32
                 )
                 keep = 1.0 - float(self.attn_drop)
             else:

@@ -1,8 +1,12 @@
 """STN localization head predicting TPS control points.
 
-Parity: reference model/stn_head.py:25-106 — six conv3x3-BN-ReLU blocks with
-interleaved max-pools down to (1, 2, 256), then fc(512)->BN->ReLU and a final
-fc whose weight is zero-initialized and whose bias encodes the margin-0.01
+Parity: the reference carries TWO near-duplicate heads —
+  * model/stn_head.py:25-106 (the PSN front): pools 2x2,2x2,2x2,2x2,1x2 →
+    (1, 2, 256) on a 16x64 input, fc1 = Linear(512, 512)   [variant='psn']
+  * model/recognizer/stn_head.py:26-106 (ASTER): pools 2x2 x5 → (1, 2, 256)
+    on its 32x64 input, fc1 = Linear(H*W//4, 512)          [variant='recognizer']
+Both share six conv3x3-BN-ReLU blocks, fc(512)->BN->ReLU, and a final fc
+whose weight is zero-initialized and whose bias encodes the margin-0.01
 rectangle of control points, so the untrained STN is an identity warp.
 """
 
@@ -35,11 +39,14 @@ class ConvBNReLU(nn.Module):
 class STNHead(nn.Module):
     num_ctrlpoints: int = 20
     activation: str = "none"
+    variant: str = "psn"  # 'psn' (model/stn_head.py) | 'recognizer' (ASTER's)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        """x: NHWC (B, 16, 64, C) → (img_feat (B,512), ctrl_points (B,N,2))."""
+        """x: NHWC (B, 16, 64, C) psn / (B, 32, 64, C) recognizer →
+        (img_feat (B,512), ctrl_points (B,N,2))."""
         pool = lambda t, wh: nn.max_pool(t, wh, strides=wh)
+        last_pool = (1, 2) if self.variant == "psn" else (2, 2)
         x = ConvBNReLU(32)(x, train)
         x = pool(x, (2, 2))
         x = ConvBNReLU(64)(x, train)
@@ -49,7 +56,7 @@ class STNHead(nn.Module):
         x = ConvBNReLU(256)(x, train)
         x = pool(x, (2, 2))
         x = ConvBNReLU(256)(x, train)
-        x = pool(x, (1, 2))
+        x = pool(x, last_pool)
         x = ConvBNReLU(256)(x, train)
         # NHWC (B, 1, 2, 256): flatten in torch NCHW order (C, H, W) so the
         # fc weights port 1:1 from the reference (stn_head.py:94-95).

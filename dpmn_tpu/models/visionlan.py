@@ -221,7 +221,19 @@ class VisionLAN(nn.Module):
 
 
 def parse_visionlan_input(imgs: jax.Array) -> jax.Array:
-    """RGB NHWC [0,1] → (B, 64, 256, 3) (interfaces/base.py:473-478; the
-    reference goes through PIL+cv2.resize bilinear, reproduced with the
-    half-pixel bilinear resize)."""
-    return resize(imgs[..., :3], (64, 256), mode="bilinear", align_corners=False)
+    """RGB NHWC float → (B, 64, 256, 3) (interfaces/base.py:473-478).
+
+    The reference round-trips every sample through host image libraries:
+    ToPILImage (float·255 cast to uint8 — trunc toward zero, wrap mod 256;
+    PSN outputs are tanh'd so negatives DO occur), cv2.resize bilinear on
+    the uint8 image (output re-quantized to uint8), then ToTensor (/255).
+    Both quantizations are reproduced here so the student sees the same
+    pixels; trunc/round have zero gradient, and the glyph prior downstream
+    is stop-gradient'ed anyway.
+    """
+    x = imgs[..., :3] * 255.0
+    # torch/numpy float→uint8 cast: truncate toward zero, wrap modulo 256
+    x = jnp.trunc(x).astype(jnp.int32) % 256
+    y = resize(x.astype(imgs.dtype), (64, 256), mode="bilinear", align_corners=False)
+    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    return y / 255.0

@@ -24,6 +24,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int = 0, model_parallel: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh: need {n} devices, have {len(devs)} on platform "
+            f"'{jax.default_backend()}'. For a virtual mesh, set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and pin "
+            "jax.config.update('jax_platforms', 'cpu') BEFORE jax initializes "
+            "its backend (see tests/conftest.py)."
+        )
+    if n % model_parallel:
+        raise ValueError(
+            f"make_mesh: n_devices={n} is not divisible by model_parallel={model_parallel}"
+        )
     devs = np.asarray(devs[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(devs, ("data", "model"))
 

@@ -26,9 +26,11 @@ ALPHA_DICT = {
     "all": string.digits + string.ascii_letters + string.punctuation,
 }
 
-# The 36-char VisionLAN dictionary (reference dic_36.txt: digits last,
-# lowercase first).
-DIC_36 = list(string.ascii_lowercase + string.digits)
+# the VisionLAN dict-file charset, IN FILE ORDER: a-z then 1..9 then 0
+# (reference dic_36.txt; digits are NOT in natural order — id 27 is '1',
+# id 36 is '0').  Round-2 fix: the previous a-z0-9 ordering shifted every
+# digit decode by one (caught by tests/test_visionlan_eval.py).
+DIC_36 = list(string.ascii_lowercase + "1234567890")
 
 
 def get_vocabulary(voc_type, EOS="EOS", PADDING="PADDING", UNKNOWN="UNKNOWN"):

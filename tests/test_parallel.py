@@ -75,8 +75,8 @@ def test_sharded_train_step_matches_single_device(parallel_setup):
             )
         ]
     )
-    lr = system.cfg.lr  # 1e-3
-    frac_clean = float(np.mean(diffs <= 0.2 * lr))
+    learn_rate = system.cfg.lr  # 1e-3
+    frac_clean = float(np.mean(diffs <= 0.2 * learn_rate))
     assert frac_clean >= 0.995, f"only {frac_clean:.4%} of params within noise floor"
-    assert float(diffs.max()) <= 2.5 * lr, f"max param divergence {diffs.max():.2e}"
+    assert float(diffs.max()) <= 2.5 * learn_rate, f"max param divergence {diffs.max():.2e}"
     assert int(new_state["step"]) == 1
