@@ -46,3 +46,35 @@ def image_loss(
     if gradient:
         loss = loss + loss_weight[1] * gradient_prior_loss(out_images[..., :3], target_images[..., :3])
     return loss
+
+
+def sequence_cross_entropy_loss(
+    logits: jax.Array,
+    targets: jax.Array,
+    lengths: jax.Array,
+    sequence_normalize: bool = False,
+    sample_normalize: bool = True,
+) -> jax.Array:
+    """ASTER's attention-decoder training loss
+    (reference model/recognizer/sequenceCrossEntropyLoss.py:36-66).
+
+    logits: (B, T, n_class) decoder scores; targets: (B, >=T) int labels;
+    lengths: (B,) valid step counts.  Per-step CE is summed over the first
+    ``lengths[i]`` steps of each sample, then normalized by the total valid
+    step count (sequence_normalize) or the batch size (sample_normalize) —
+    the reference asserts the two flags are mutually exclusive and defaults
+    to sample_normalize.  ASTER is frozen inside the DPMN flow; this exists
+    for standalone recognizer training parity.
+    """
+    assert not (sequence_normalize and sample_normalize) or not sequence_normalize
+    b, t = logits.shape[0], logits.shape[1]
+    targets = targets[:, :t]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(logits.dtype)  # (B, T)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    out = jnp.sum(-picked * mask)
+    if sequence_normalize:
+        out = out / jnp.sum(mask)
+    if sample_normalize:
+        out = out / b
+    return out
