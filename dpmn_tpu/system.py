@@ -51,6 +51,13 @@ from .utils.labels import DIC_36
 
 
 def _tree_norm(tree):
+    """Per-leaf sum-of-squares, added as scalars.
+
+    NOTE (measured, v5e): do NOT "optimize" this into one concatenated
+    reduction — jnp.concatenate of ~130 raveled grad leaves lowers to
+    hundreds of tiny relayout DMA copies and regressed the train step
+    214 ms -> 1306 ms.  The per-leaf reduces fuse into the backward
+    fusions that produce each grad and cost ~10 ms total."""
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
