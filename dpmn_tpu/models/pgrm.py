@@ -316,6 +316,55 @@ class WindowAttention(nn.Module):
             )
             return (out, True) if ln is not None else out
 
+        packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
+        if (
+            _use_pallas_window()
+            and self.faithful
+            and not deterministic
+            and divisible
+            and packed_ok
+            and ln is not None
+            and self.qkv_bias
+            and not self.is_initializing()
+        ):
+            # fused training path: LN + Q/KV projections + attention in one
+            # custom-VJP Pallas pair (ops/pallas_window_train.py); SKConv,
+            # the residual/DropPath and the grads XLA handles well stay out
+            from ..ops.pallas_window import build_packed_bias
+            from ..ops.pallas_window_train import window_attention_block_core
+
+            qk, qbias = _DenseParams((c, self.dim), name="q")()
+            kvk, kvbias = _DenseParams((c, 2 * self.dim), name="kv")()
+            biases, masks = [], []
+            for i, (ws, sh) in enumerate(zip(win, shf)):
+                n = ws * ws
+                table = self.param(
+                    f"relative_position_bias_table_{i}", trunc02, ((2 * ws - 1) ** 2, gnum_heads)
+                )
+                rel_idx = _relative_position_index(ws).reshape(-1)
+                biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
+                masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
+            packed = build_packed_bias(
+                [bb.astype(jnp.float32) for bb in biases], masks, win, h * w
+            )
+            scale = self.qk_scale or gchannel**-0.5
+            if self.attn_drop > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.int32(2**31 - 1 - 2**20), dtype=jnp.int32
+                )
+                keep = 1.0 - float(self.attn_drop)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+                keep = 1.0
+            out3 = window_attention_block_core(
+                x_q, x_kv, ln[0], ln[1], ln[2], ln[3], qk, qbias, kvk, kvbias,
+                packed, seed, tuple(win), tuple(shf), gnum_heads, scale, keep,
+                (h, w), jax.default_backend() != "tpu",
+            )
+            x = SKConv(dim=self.dim, m=n_group)(out3)
+            x = x.reshape(b, h * w, self.dim)
+            return x, False
+
         if ln is not None:
             from ..ops.pallas_window import _layer_norm
 
@@ -354,7 +403,12 @@ class WindowAttention(nn.Module):
                 rel_idx = _relative_position_index(ws).reshape(-1)
                 biases.append(table[rel_idx].reshape(n, n, gnum_heads).transpose(2, 0, 1))
                 masks.append(jnp.asarray(_shift_attn_mask(h, w, ws, sh)) if sh > 0 else None)
-            packed = build_packed_bias(biases, masks, win, h * w)
+            # packed bias is always f32: the kernel adds it to f32 scores and
+            # the custom-VJP returns an f32 dbias (grads flow back through
+            # the astype to the possibly-bf16 AMP tables)
+            packed = build_packed_bias(
+                [bb.astype(jnp.float32) for bb in biases], masks, win, h * w
+            )
             scale = self.qk_scale or gchannel**-0.5
             if self.attn_drop > 0.0:
                 # headroom so the kernel's seed_ref[0] + i*n_group + g offset

@@ -101,12 +101,15 @@ def _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
                 probs = jax.nn.softmax(scores, axis=-1)
                 if use_dropout:
                     probs = probs * _dropout_mask((npack, 128, 128), keep_prob)
+                # probs cast to the io dtype so both dot operands match (the
+                # bf16 AMP path; identity in fp32); accumulate f32 on the MXU
                 out = jax.lax.dot_general(
-                    probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    probs.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
                 )
                 lo = g * channel + hd * gch
                 # faithful raw re-layout (pgrm.py:263) == packed row order
-                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch)
+                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch).astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -184,9 +187,11 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
                         probs_d = probs * m
                     else:
                         probs_d = probs
-                    # dV = Pd^T dO
+                    # dV = Pd^T dO  (probs cast to the io dtype for matching
+                    # dot operands — bf16 AMP path, identity in fp32)
                     dvp = jax.lax.dot_general(
-                        probs_d, dop, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                        probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
                     )  # (npack, 128, gch)
                     # dPd = dO V^T
                     dpd = jax.lax.dot_general(
@@ -197,11 +202,12 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
                     ds = probs * (dp - row)  # (npack, 128, 128)
                     dbias_ref[gg, hd] += ds
                     # dQ = scale * dS K ; dK = dS^T (scale*Q) (scale inside qp)
+                    ds_io = ds.astype(kp.dtype)
                     dqp = jax.lax.dot_general(
-                        ds, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                        ds_io, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
                     ) * scale  # (npack, 128, gch)
                     dkp = jax.lax.dot_general(
-                        ds, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                        ds_io, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
                     )  # (npack, 128, gch)
                     # per-head un-partition + un-roll + write (no scratch)
                     lo = gg * channel + hd * gch
@@ -209,7 +215,7 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
                         d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
                         if sh > 0:
                             d3 = jnp.roll(jnp.roll(d3, sh, axis=0), sh, axis=1)
-                        dref[0, :, :, lo : lo + gch] = d3
+                        dref[0, :, :, lo : lo + gch] = d3.astype(dref.dtype)
 
     grid = (b, n_group)
     io_block = pl.BlockSpec((1, h, w, dim), lambda i, g: (i, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -250,6 +256,331 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
         interpret=interpret,
     )(seed, q3, k3, v3, packed_bias, dout)
     return dq, dk, dv, dbias
+
+
+def _ln_fwd_f32(x, scale, bias, eps=1e-6):
+    """LayerNorm in f32 regardless of io dtype; returns (y_dt, xhat_f32,
+    rstd_f32) — xhat/rstd are what the backward needs."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    y = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype), xhat, rstd
+
+
+def _ln_bwd_f32(dy, xhat, rstd, scale):
+    """dx for y = xhat*scale + bias (dy, xhat, rstd f32). Row-wise:
+    dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))."""
+    dxhat = dy * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return rstd * (dxhat - m1 - xhat * m2)
+
+
+def _attn_group_fwd(qb3, kb3, vb3, bias_ref, out_store, g, ws, sh, h, w,
+                    channel, gnum_heads, gch, npack, scale, keep_prob,
+                    use_dropout):
+    """One window-size group of the packed attention forward; out_store is a
+    callback (hd, lo, out_f32) that places the (h, w, gch) result."""
+    hw = h * w
+    sl = slice(g * channel, (g + 1) * channel)
+    qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+    if sh > 0:
+        qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+        kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+        vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+    qw = _part_rows(qg, ws, h, w, channel) * scale
+    kw = _part_rows(kg, ws, h, w, channel)
+    vw = _part_rows(vg, ws, h, w, channel)
+    for hd in range(gnum_heads):
+        hsl = slice(hd * gch, (hd + 1) * gch)
+        qp = qw[:, hsl].reshape(npack, 128, gch)
+        kp = kw[:, hsl].reshape(npack, 128, gch)
+        vp = vw[:, hsl].reshape(npack, 128, gch)
+        scores = jax.lax.dot_general(
+            qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) + bias_ref[g, hd]
+        probs = jax.nn.softmax(scores, axis=-1)
+        if use_dropout:
+            probs = probs * _dropout_mask((npack, 128, 128), keep_prob)
+        out = jax.lax.dot_general(
+            probs.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        lo = g * channel + hd * gch
+        out_store(hd, lo, out.reshape(h, w, gch))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+def window_attention_block_core(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv,
+                                packed_bias, seed, window_sizes, shifts,
+                                gnum_heads, scale, keep_prob, hw_shape,
+                                interpret=False):
+    """LN(norm1_q/kv) + Q/KV projections + grouped window cross-attention in
+    ONE custom-VJP Pallas pair (the training analogue of the eval path's
+    fused_window_attention_block, ops/pallas_window.py:157).
+
+    Fusing the projections kills the q/kv HBM round-trip (75 MB per call at
+    batch 64 fp32) and the XLA↔Pallas relayout copies on both sides of the
+    old attention-only core.  The backward is fully recomputing
+    (flash-style): per batch element it re-runs LN + projections + scores +
+    probs (regenerating the dropout mask by reseeding the in-kernel PRNG),
+    then emits dxq, dxkv and accumulates the LN/projection/bias weight
+    gradients across the batch grid in resident VMEM accumulators.
+
+    xq/xkv: (B, H, W, c) PRE-norm tokens; returns the faithful-layout
+    attention output (B, H, W, dim), pre-SKConv (the residual/DropPath and
+    SKConv stay in XLA where flax handles them).
+    """
+    return _block_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias,
+                      seed, window_sizes, shifts, gnum_heads, scale, keep_prob,
+                      hw_shape, interpret)
+
+
+def _block_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias, seed,
+               window_sizes, shifts, gnum_heads, scale, keep_prob, hw_shape,
+               interpret):
+    b, h, w, c = xq.shape
+    hw = h * w
+    dim = wq.shape[1]
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    use_dropout = keep_prob < 1.0
+    dt = xq.dtype
+
+    def kernel(seed_ref, xq_ref, xkv_ref, qs_ref, qb_ref, ks_ref, kb_ref,
+               wq_ref, bq_ref, wkv_ref, bkv_ref, bias_ref, out_ref):
+        i = pl.program_id(0)
+        xq_t = xq_ref[0].reshape(hw, c)
+        xkv_t = xkv_ref[0].reshape(hw, c)
+        xq_ln, _, _ = _ln_fwd_f32(xq_t, qs_ref[:], qb_ref[:])
+        xkv_ln, _, _ = _ln_fwd_f32(xkv_t, ks_ref[:], kb_ref[:])
+        q_full = (jax.lax.dot_general(
+            xq_ln, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq_ref[:]).astype(dt)
+        kv_full = (jax.lax.dot_general(
+            xkv_ln, wkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bkv_ref[:]).astype(dt)
+        qb3 = q_full.reshape(h, w, dim)
+        kb3 = kv_full[:, :dim].reshape(h, w, dim)
+        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+
+        def store(hd, lo, out_f32):
+            out_ref[0, :, :, lo : lo + gch] = out_f32.astype(out_ref.dtype)
+
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            _attn_group_fwd(qb3, kb3, vb3, bias_ref, store, g, ws, sh, h, w,
+                            channel, gnum_heads, gch, npack, scale, keep_prob,
+                            use_dropout)
+
+    small = [qs, qb, ks, kb, wq, bq, wkv, bkv]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for t in small + [packed_bias]
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, dim), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(seed, xq, xkv, *small, packed_bias)
+
+
+def _block_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias,
+                    seed, dout, window_sizes, shifts, gnum_heads, scale,
+                    keep_prob, hw_shape, interpret):
+    b, h, w, c = xq.shape
+    hw = h * w
+    dim = wq.shape[1]
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    use_dropout = keep_prob < 1.0
+    dt = xq.dtype
+
+    def kernel(seed_ref, xq_ref, xkv_ref, qs_ref, qb_ref, ks_ref, kb_ref,
+               wq_ref, bq_ref, wkv_ref, bkv_ref, bias_ref, dout_ref,
+               dxq_ref, dxkv_ref, dqs_ref, dqb_ref, dks_ref, dkb_ref,
+               dwq_ref, dbq_ref, dwkv_ref, dbkv_ref, dbias_ref,
+               dq_sc, dkv_sc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for r in (dqs_ref, dqb_ref, dks_ref, dkb_ref, dwq_ref, dbq_ref,
+                      dwkv_ref, dbkv_ref, dbias_ref):
+                r[...] = jnp.zeros_like(r)
+
+        # ---- recompute LN + projections (keep xhat/rstd for the LN bwd)
+        xq_t = xq_ref[0].reshape(hw, c)
+        xkv_t = xkv_ref[0].reshape(hw, c)
+        xq_ln, xhat_q, rstd_q = _ln_fwd_f32(xq_t, qs_ref[:], qb_ref[:])
+        xkv_ln, xhat_kv, rstd_kv = _ln_fwd_f32(xkv_t, ks_ref[:], kb_ref[:])
+        q_full = (jax.lax.dot_general(
+            xq_ln, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq_ref[:]).astype(dt)
+        kv_full = (jax.lax.dot_general(
+            xkv_ln, wkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bkv_ref[:]).astype(dt)
+        qb3 = q_full.reshape(h, w, dim)
+        kb3 = kv_full[:, :dim].reshape(h, w, dim)
+        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+
+        # ---- attention bwd per (group, head); dq/dk/dv land in scratches
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            csl = slice(g * channel, (g + 1) * channel)
+            qg, kg, vg = qb3[..., csl], kb3[..., csl], vb3[..., csl]
+            if sh > 0:
+                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+            qw = _part_rows(qg, ws, h, w, channel)
+            kw = _part_rows(kg, ws, h, w, channel)
+            vw = _part_rows(vg, ws, h, w, channel)
+            # fwd wrote faithful layout = packed rows viewed as (H, W, c)
+            dow = dout_ref[0][..., csl].reshape(hw, channel)
+            for hd in range(gnum_heads):
+                hsl = slice(hd * gch, (hd + 1) * gch)
+                qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                kp = kw[:, hsl].reshape(npack, 128, gch)
+                vp = vw[:, hsl].reshape(npack, 128, gch)
+                dop = dow[:, hsl].reshape(npack, 128, gch)
+                scores = jax.lax.dot_general(
+                    qp, kp, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) + bias_ref[g, hd]
+                probs = jax.nn.softmax(scores, axis=-1)
+                if use_dropout:
+                    m = _dropout_mask((npack, 128, 128), keep_prob)
+                    probs_d = probs * m
+                else:
+                    probs_d = probs
+                dvp = jax.lax.dot_general(
+                    probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dpd = jax.lax.dot_general(
+                    dop, vp, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = dpd * m if use_dropout else dpd
+                row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+                ds = probs * (dp - row)
+                dbias_ref[g, hd] += ds
+                ds_io = ds.astype(kp.dtype)
+                dqp = jax.lax.dot_general(
+                    ds_io, kp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dkp = jax.lax.dot_general(
+                    ds_io, qp, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                lo_k = g * channel + hd * gch
+                for sc, rows, off in ((dq_sc, dqp, 0), (dkv_sc, dkp, 0), (dkv_sc, dvp, dim)):
+                    d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
+                    if sh > 0:
+                        d3 = jnp.roll(jnp.roll(d3, sh, axis=0), sh, axis=1)
+                    sc[:, off + lo_k : off + lo_k + gch] = d3.reshape(hw, gch)
+
+        # ---- projection bwd + weight-grad accumulation
+        dq_full = dq_sc[:]
+        dkv_full = dkv_sc[:]
+        dxq_ln = jax.lax.dot_general(
+            dq_full.astype(dt), wq_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxkv_ln = jax.lax.dot_general(
+            dkv_full.astype(dt), wkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwq_ref[...] += jax.lax.dot_general(
+            xq_ln, dq_full.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbq_ref[...] += jnp.sum(dq_full, axis=0)
+        dwkv_ref[...] += jax.lax.dot_general(
+            xkv_ln, dkv_full.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbkv_ref[...] += jnp.sum(dkv_full, axis=0)
+
+        # ---- LN bwd
+        dqs_ref[...] += jnp.sum(dxq_ln * xhat_q, axis=0)
+        dqb_ref[...] += jnp.sum(dxq_ln, axis=0)
+        dks_ref[...] += jnp.sum(dxkv_ln * xhat_kv, axis=0)
+        dkb_ref[...] += jnp.sum(dxkv_ln, axis=0)
+        dxq_ref[0] = _ln_bwd_f32(dxq_ln, xhat_q, rstd_q, qs_ref[:]).reshape(h, w, c).astype(dxq_ref.dtype)
+        dxkv_ref[0] = _ln_bwd_f32(dxkv_ln, xhat_kv, rstd_kv, ks_ref[:]).reshape(h, w, c).astype(dxkv_ref.dtype)
+
+    small = [qs, qb, ks, kb, wq, bq, wkv, bkv]
+    io_block = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda t: pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), io_block, io_block] + [
+        const(t) for t in small + [packed_bias]
+    ] + [pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)]
+    out_specs = [io_block, io_block] + [const(t) for t in small + [packed_bias]]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+    ] + [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in small + [packed_bias]]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((hw, dim), jnp.float32),
+            pltpu.VMEM((hw, 2 * dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(seed, xq, xkv, *small, packed_bias, dout)
+    dxq, dxkv, dqs, dqb, dks, dkb, dwq, dbq, dwkv, dbkv, dbias = outs
+    cast_to = lambda g, t: g.astype(t.dtype)
+    return (dxq, dxkv, cast_to(dqs, qs), cast_to(dqb, qb), cast_to(dks, ks),
+            cast_to(dkb, kb), cast_to(dwq, wq), cast_to(dbq, bq),
+            cast_to(dwkv, wkv), cast_to(dbkv, bkv),
+            dbias.astype(packed_bias.dtype))
+
+
+def _block_vjp_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias,
+                   seed, window_sizes, shifts, gnum_heads, scale, keep_prob,
+                   hw_shape, interpret):
+    out = _block_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias,
+                     seed, window_sizes, shifts, gnum_heads, scale, keep_prob,
+                     hw_shape, interpret)
+    return out, (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias, seed)
+
+
+def _block_vjp_bwd(window_sizes, shifts, gnum_heads, scale, keep_prob,
+                   hw_shape, interpret, res, dout):
+    (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias, seed) = res
+    grads = _block_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv,
+                            packed_bias, seed, dout, window_sizes, shifts,
+                            gnum_heads, scale, keep_prob, hw_shape, interpret)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return grads + (dseed,)
+
+
+window_attention_block_core.defvjp(_block_vjp_fwd, _block_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))

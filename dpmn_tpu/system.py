@@ -94,6 +94,15 @@ class DPMNSystem:
     # the student logits, so reduced precision cannot perturb the prior
     # except on exact ties; None keeps the quirk-exact fp32 path.
     student_dtype: Any = None
+    # Mixed-precision training ('bfloat16'): master params, the Adam state,
+    # per-module clipping and every per-iteration loss stay float32; the
+    # forward/backward compute (PSN, students, PGRMs, distill, CMM) runs in
+    # bfloat16.  The train step is neither FLOP- nor bandwidth-saturated but
+    # op-granularity-bound (ROADMAP.md) — bf16 halves the bytes of every
+    # relayout copy and tiles (16,128) instead of (8,128).  None keeps the
+    # quirk-exact fp32 path (the reference trains fp32 CUDA,
+    # interfaces/super_resolution.py:269-278).
+    train_dtype: Any = None
 
     def __post_init__(self):
         a = self.args
@@ -340,6 +349,8 @@ class DPMNSystem:
         new_bs = dict(batch_stats)
         loss_total = 0.0
         mutable = ["batch_stats"] if train else False
+        # losses always accumulate in float32 (identity when not in AMP)
+        f32 = lambda t: t.astype(jnp.float32)
 
         def apply_pgrm(idx, x_q, x_kv, residuals):
             # parity quirk: with sr_share BOTH branches pick model_list[0]
@@ -370,7 +381,7 @@ class DPMNSystem:
             sr = apply_pgrm(k, x_q, cascade[..., :3], b1_list[:k])
             b1_list.append(sr)
             cascade = sr
-            loss_total += image_loss(sr, images_hr[..., :3], gradient=a.gradient) * 100.0
+            loss_total += image_loss(f32(sr), images_hr[..., :3], gradient=a.gradient) * 100.0
 
         # ---- branch 2: semantic prior (:218-240)
         cascade = images_lr_psn
@@ -380,7 +391,7 @@ class DPMNSystem:
             sr = apply_pgrm(k, x_q, cascade[..., :3], b2_list[: (k - self.b2)])
             b2_list.append(sr)
             cascade = sr
-            loss_total += image_loss(sr, images_hr[..., :3], gradient=a.gradient) * 100.0
+            loss_total += image_loss(f32(sr), images_hr[..., :3], gradient=a.gradient) * 100.0
 
         # ---- distill cascades (:245-263)
         def apply_distill(idx, deep, shallow):
@@ -396,11 +407,11 @@ class DPMNSystem:
         feat = b1_list[-1]
         for k in range(self.b1 - 1, 0, -1):
             l, feat = apply_distill(k - 1, feat, b1_list[k - 1])
-            loss_total += l * 100.0
+            loss_total += f32(l) * 100.0
         feat = b2_list[-1]
         for k in range(self.b2 - 1, 0, -1):
             l, feat = apply_distill(k + self.b1 - 2, feat, b2_list[k - 1])
-            loss_total += l * 100.0
+            loss_total += f32(l) * 100.0
 
         # ---- CMM fusion (:265-269)
         variables = {"params": params["cmm"], "batch_stats": new_bs["cmm"]}
@@ -410,7 +421,7 @@ class DPMNSystem:
             new_bs["cmm"] = mut["batch_stats"]
         else:
             sr_final = out
-        loss_total += image_loss(sr_final, images_hr[..., :3], gradient=a.gradient) * 100.0
+        loss_total += image_loss(f32(sr_final), images_hr[..., :3], gradient=a.gradient) * 100.0
         loss_total = loss_total / (self.b1 + self.b2 + 1)
         return loss_total, sr_final, new_bs
 
@@ -418,16 +429,32 @@ class DPMNSystem:
 
     def _train_step_impl(self, state, images_hr, images_lr, rng):
         frozen = state["frozen"]
+        amp = self.train_dtype is not None
+        if amp:
+            dt = jnp.dtype(self.train_dtype)
+            down = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+            frozen = jax.tree_util.tree_map(down, frozen)
+            images_lr = images_lr.astype(dt)
         images_lr_psn = self._psn_forward(frozen, images_lr)
         rngs = {"dropout": rng}
 
         def loss_fn(params):
+            if amp:
+                # cast-through-grad: cotangents flow back through the astype,
+                # so grads land float32 on the float32 master params
+                params = jax.tree_util.tree_map(down, params)
+                bs = jax.tree_util.tree_map(down, state["batch_stats"])
+            else:
+                bs = state["batch_stats"]
             loss, sr, new_bs = self._cascade(
-                params, state["batch_stats"], frozen, images_lr_psn, images_hr, True, rngs
+                params, bs, frozen, images_lr_psn, images_hr, True, rngs
             )
             return loss, (sr, new_bs)
 
         (loss, (sr, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        if amp:
+            up = lambda t: t.astype(jnp.float32) if hasattr(t, "dtype") and t.dtype == dt else t
+            new_bs = jax.tree_util.tree_map(up, new_bs)
         updates, new_opt = self._adam.update(grads, state["opt_state"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         new_state = {

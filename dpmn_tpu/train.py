@@ -48,7 +48,11 @@ class Trainer:
                 "DPMN_TPU_GLYPH_MODE",
                 "atlas" if jax.default_backend() == "tpu" else "callback",
             )
-        self.system = DPMNSystem(cfg, args, glyph_mode=glyph_mode)
+        # DPMN_TPU_TRAIN_DTYPE=bfloat16 enables mixed-precision training
+        # (fp32 master params/losses, bf16 compute — see PARITY.md); the
+        # default keeps the reference's fp32 step.
+        train_dtype = os.environ.get("DPMN_TPU_TRAIN_DTYPE") or None
+        self.system = DPMNSystem(cfg, args, glyph_mode=glyph_mode, train_dtype=train_dtype)
         self.batch_size = args.batch_size or cfg.batch_size
         self.rng = set_seed(cfg.manualSeed)
         self.evaluator = None

@@ -129,6 +129,88 @@ def test_window_attention_train_path_matches_xla(monkeypatch):
         )
 
 
+def test_fused_block_train_path_matches_xla(monkeypatch):
+    """The fused LN+QKV+attention training kernel, wired through
+    SwinTransformerBlock (which threads the norm1_q/norm1_kv params into
+    WindowAttention), must reproduce the XLA formulation — outputs and
+    grads for every param including the LN scales/biases and the q/kv
+    projection weights whose gradients the backward kernel accumulates."""
+    import dpmn_tpu.models.pgrm as pgrm_mod
+    from dpmn_tpu.models.pgrm import SwinTransformerBlock
+
+    blk = SwinTransformerBlock(
+        dim=96, input_resolution=(16, 64), num_heads=6, window_size=[2, 4, 8],
+        shift_size=[1, 2, 4], attn_drop=0.0, drop_path=0.0, faithful=True,
+    )
+    rng = np.random.RandomState(7)
+    x_q = jnp.asarray(rng.randn(2, 16 * 64, 96) * 0.5, jnp.float32)
+    x_kv = jnp.asarray(rng.randn(2, 16 * 64, 96) * 0.5, jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x_q, x_kv, True)
+
+    def run(mode):
+        monkeypatch.setattr(pgrm_mod, "_PALLAS_WINDOW_MODE", mode)
+
+        def loss(params):
+            _, out = blk.apply({"params": params}, x_q, x_kv, False,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(jnp.tanh(out)), out
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(variables["params"])
+        return l, o, g
+
+    l1, o1, g1 = run("1")
+    l0, o0, g0 = run("0")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(g0))
+    assert len(flat1) == len(flat0)
+    for path, a in flat1:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat0[path]), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_core_bf16_io_matches_f32_loosely(inputs):
+    """The AMP path feeds the kernel bf16 q/k/v and an f32 packed bias; the
+    kernel must accept the mixed dtypes (matched-operand dots, casted
+    stores), return bf16 out/dq/dk/dv with an f32 dbias, and stay within
+    bf16 tolerance of the f32 computation."""
+    q3, k3, v3, biases = inputs
+    shifts = (1, 2, 4)
+    from dpmn_tpu.models.pgrm import _shift_attn_mask
+
+    masks = [
+        jnp.asarray(_shift_attn_mask(H, W, ws, sh)) if sh > 0 else None
+        for ws, sh in zip(WINDOWS, shifts)
+    ]
+    packed = build_packed_bias(biases, masks, WINDOWS, HW)
+    scale = (DIM // len(WINDOWS) // HEADS) ** -0.5
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss(q, k, v, pb):
+        out = window_attention_core(q, k, v, pb, seed, WINDOWS, shifts,
+                                    HEADS, scale, 1.0, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (l32, o32), g32 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True)(q3, k3, v3, packed)
+    q16, k16, v16 = (t.astype(jnp.bfloat16) for t in (q3, k3, v3))
+    (l16, o16), g16 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True)(q16, k16, v16, packed)
+
+    assert o16.dtype == jnp.bfloat16
+    assert g16[0].dtype == jnp.bfloat16 and g16[2].dtype == jnp.bfloat16
+    assert g16[3].dtype == jnp.float32  # dbias stays f32
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.03)
+    np.testing.assert_allclose(
+        np.asarray(o16, np.float32), np.asarray(o32), rtol=0.1, atol=0.05
+    )
+    for name, a, b in zip(["dq", "dk", "dv", "dbias"], g16, g32):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), rtol=0.2, atol=0.15, err_msg=name
+        )
+
+
 @pytest.mark.parametrize("shifts", [(0, 0, 0), (1, 2, 4)])
 def test_core_forward_and_grads_match_reference(inputs, shifts):
     (l1, o1, g1), (l2, o2, g2) = run_both(inputs, shifts)

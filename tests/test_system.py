@@ -9,7 +9,7 @@ from dpmn_tpu.config import Args, TrainCfg
 from dpmn_tpu.system import DPMNSystem
 
 
-def tiny_system(arch="tsrn", glyph_mode="zeros", b1=1, b2=1, **kw):
+def tiny_system(arch="tsrn", glyph_mode="zeros", b1=1, b2=1, train_dtype=None, **kw):
     cfg = TrainCfg(batch_size=2, width=128, height=32)
     args = Args(
         arch=arch,
@@ -25,7 +25,7 @@ def tiny_system(arch="tsrn", glyph_mode="zeros", b1=1, b2=1, **kw):
         hd_u=4,
         **kw,
     )
-    return DPMNSystem(cfg, args, glyph_mode=glyph_mode)
+    return DPMNSystem(cfg, args, glyph_mode=glyph_mode, train_dtype=train_dtype)
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +57,33 @@ def test_train_step_decreases_nothing_but_runs(sys_state):
     p0 = jax.tree_util.tree_leaves(state["params"]["cmm"])[0]
     p1 = jax.tree_util.tree_leaves(new_state["params"]["cmm"])[0]
     assert float(jnp.abs(p1 - p0).max()) > 0.0
+
+
+def test_amp_train_step_matches_fp32_and_keeps_f32_state(sys_state):
+    """bf16 mixed-precision step: loss within a few percent of the fp32 step
+    from the same state, master params/opt-state/batch-stats stay float32,
+    and repeated AMP steps keep optimizing."""
+    system, state = sys_state
+    system_amp = tiny_system(train_dtype="bfloat16")
+    rng = jax.random.PRNGKey(1)
+    hr = jnp.asarray(np.random.RandomState(0).rand(2, 32, 128, 4), jnp.float32)
+    lr = jnp.asarray(np.random.RandomState(1).rand(2, 16, 64, 4), jnp.float32)
+
+    _, m32 = system.train_step(state, hr, lr, rng)
+    s16, m16 = system_amp.train_step(state, hr, lr, rng)
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=0.05)
+
+    for leaf in jax.tree_util.tree_leaves(
+        {"p": s16["params"], "b": s16["batch_stats"], "o": s16["opt_state"]}
+    ):
+        assert leaf.dtype != jnp.bfloat16, "AMP leaked bf16 into the train state"
+
+    losses = [float(m16["loss"])]
+    for i in range(4):
+        s16, m16 = system_amp.train_step(s16, hr, lr, jax.random.fold_in(rng, i))
+        losses.append(float(m16["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
 
 
 def test_sr_forward_shapes(sys_state):

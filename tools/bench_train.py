@@ -30,6 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", "16")))
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision step")
     args = ap.parse_args()
 
     from dpmn_tpu.config import TrainCfg
@@ -37,7 +38,10 @@ def main():
     from __graft_entry__ import _flagship_args
 
     cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
-    system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas", donate_state=True)
+    system = DPMNSystem(
+        cfg, _flagship_args(), glyph_mode="atlas", donate_state=True,
+        train_dtype="bfloat16" if args.amp else None,
+    )
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
 
     rng = np.random.RandomState(0)
@@ -57,7 +61,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train images/sec/chip (TATT+DPMN 3+3 joint step)",
+                "metric": "train images/sec/chip (TATT+DPMN 3+3 joint step"
+                + (", bf16 AMP)" if args.amp else ")"),
                 "value": round(args.batch / dt, 2),
                 "unit": "images/sec/chip",
                 "ms_per_step": round(dt * 1000, 2),

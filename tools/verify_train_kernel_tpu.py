@@ -106,6 +106,77 @@ def main():
     assert gd < 1e-3 * max(gs, 1.0)
     print("PASS: dropout-on gradient matches the explicit-mask ground truth")
 
+    # ---- 4. fused LN+QKV block kernel (window_attention_block_core):
+    # real-Mosaic fwd+grad parity vs an LN→proj→jnp-attention reference,
+    # plus dropout determinism and the explicit-mask gradient check.
+    from dpmn_tpu.ops.pallas_window import _layer_norm
+    from dpmn_tpu.ops.pallas_window_train import window_attention_block_core
+
+    c = DIM
+    xq = jnp.asarray(rng.randn(b, H, W, c) * 0.5, jnp.float32)
+    xkv = jnp.asarray(rng.randn(b, H, W, c) * 0.5, jnp.float32)
+    qs = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    qb = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    ks = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    kb = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    wq = jnp.asarray(rng.randn(c, DIM) * 0.1, jnp.float32)
+    bq = jnp.asarray(0.1 * rng.randn(DIM), jnp.float32)
+    wkv = jnp.asarray(rng.randn(c, 2 * DIM) * 0.1, jnp.float32)
+    bkv = jnp.asarray(0.1 * rng.randn(2 * DIM), jnp.float32)
+    wargs = (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed)
+
+    def block_loss(args, keep, sd):
+        out = window_attention_block_core(*args, sd, WINDOWS, shifts, HEADS,
+                                          scale, keep, (H, W), False)
+        return jnp.sum(out * jnp.cos(out))
+
+    def qkv_of(args):
+        (xq_, xkv_, qs_, qb_, ks_, kb_, wq_, bq_, wkv_, bkv_, _pb) = args
+        xq_ln = _layer_norm(xq_.reshape(b, HW, c), qs_, qb_)
+        xkv_ln = _layer_norm(xkv_.reshape(b, HW, c), ks_, kb_)
+        q = (xq_ln @ wq_ + bq_).reshape(b, H, W, DIM)
+        kv = xkv_ln @ wkv_ + bkv_
+        k3_ = kv[..., :DIM].reshape(b, H, W, DIM)
+        v3_ = kv[..., DIM:].reshape(b, H, W, DIM)
+        return q, k3_, v3_
+
+    def block_ref_loss(args):
+        q, k3_, v3_ = qkv_of(args)
+        out = jnp_reference(q, k3_, v3_, args[-1], WINDOWS, shifts, HEADS, scale)
+        return jnp.sum(out * jnp.cos(out))
+
+    lb1, gb1 = jax.jit(lambda a, sd: jax.value_and_grad(block_loss)(a, 1.0, sd))(wargs, seed)
+    lb2, gb2 = jax.jit(jax.value_and_grad(block_ref_loss))(wargs)
+    np.testing.assert_allclose(float(lb1), float(lb2), rtol=1e-5)
+    names = ["dxq", "dxkv", "dqs", "dqb", "dks", "dkb", "dwq", "dbq", "dwkv", "dbkv", "dbias"]
+    for name, a, bb in zip(names, gb1, gb2):
+        d = float(jnp.max(jnp.abs(a - bb)))
+        r = d / (float(jnp.max(jnp.abs(bb))) + 1e-9)
+        print(f"block no-dropout {name}: max abs diff {d:.3e} (rel {r:.3e})")
+        assert r < 2e-3, name
+    print("PASS: fused block no-dropout fwd+bwd parity on device")
+
+    block = jax.jit(lambda a, sd: window_attention_block_core(
+        *a, sd, WINDOWS, shifts, HEADS, scale, keep, (H, W), False))
+    ob1, ob2, ob3 = block(wargs, seed), block(wargs, seed), block(wargs, seed + 1)
+    assert bool(jnp.all(ob1 == ob2)), "block dropout not deterministic for fixed seed"
+    assert not bool(jnp.all(ob1 == ob3)), "block dropout identical across seeds"
+    # explicit-mask ground truth (the block draws masks in the same (i, g)
+    # seeded order as the standalone core, so dump_masks applies)
+    q_, k_, v_ = qkv_of(wargs)
+    o_blk = block(wargs, seed)
+    o_msk = ref_with_masks(q_, k_, v_, packed, dmasks, scale)
+    np.testing.assert_allclose(np.asarray(o_blk), np.asarray(o_msk), rtol=2e-4, atol=2e-3)
+    g_blk = jax.jit(jax.grad(lambda a: jnp.sum(jnp.tanh(block(a, seed)))))(wargs)[0]
+    g_msk = jax.jit(jax.grad(lambda a: jnp.sum(jnp.tanh(
+        ref_with_masks(*qkv_of(a), packed, dmasks, scale)
+    ))))(wargs)[0]
+    gd = float(jnp.max(jnp.abs(g_blk - g_msk)))
+    gs = float(jnp.max(jnp.abs(g_msk)))
+    print(f"block dropout-on dxq vs explicit-mask reference: max abs diff {gd:.3e} (scale {gs:.3e})")
+    assert gd < 2e-3 * max(gs, 1.0)
+    print("PASS: fused block dropout-on gradient matches the explicit-mask ground truth")
+
 
 if __name__ == "__main__":
     main()
