@@ -51,6 +51,12 @@ def _use_pallas_window() -> bool:
         return False
     return jax.default_backend() == "tpu"
 
+
+# '1' (default): the fused training kernel also absorbs SKConv
+# (window_attention_full_core); '0': SKConv stays in XLA around the
+# LN+QKV+attention block kernel.  Both are parity-tested.
+_FUSE_SKCONV_MODE = os.environ.get("DPMN_TPU_FUSE_SKCONV", "1")
+
 trunc02 = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)  # torch trunc_normal_ std=.02
 xavier = nn.initializers.xavier_uniform()
 
@@ -356,10 +362,28 @@ class WindowAttention(nn.Module):
             else:
                 seed = jnp.zeros((1,), jnp.int32)
                 keep = 1.0
+            interp = jax.default_backend() != "tpu"
+            if _FUSE_SKCONV_MODE == "1":
+                from ..ops.pallas_window_train import window_attention_full_core
+
+                channel_sk = self.dim // n_group
+                sk = _SKConvParams(
+                    self.dim, channel_sk // 2, channel_sk * n_group, channel_sk,
+                    name="SKConv_0",
+                )()
+                x = window_attention_full_core(
+                    x_q, x_kv, ln[0], ln[1], ln[2], ln[3], qk, qbias, kvk,
+                    kvbias, sk["proj_kernel"], sk["proj_bias"],
+                    sk["fc1_kernel"], sk["fc1_bias"], sk["fc2_kernel"],
+                    sk["fc2_bias"], sk["ph_kernel"], sk["ph_bias"],
+                    packed, seed, tuple(win), tuple(shf), gnum_heads, scale,
+                    keep, (h, w), interp,
+                )
+                return x, False
             out3 = window_attention_block_core(
                 x_q, x_kv, ln[0], ln[1], ln[2], ln[3], qk, qbias, kvk, kvbias,
                 packed, seed, tuple(win), tuple(shf), gnum_heads, scale, keep,
-                (h, w), jax.default_backend() != "tpu",
+                (h, w), interp,
             )
             x = SKConv(dim=self.dim, m=n_group)(out3)
             x = x.reshape(b, h * w, self.dim)

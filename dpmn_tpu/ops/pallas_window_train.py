@@ -583,6 +583,430 @@ def _block_vjp_bwd(window_sizes, shifts, gnum_heads, scale, keep_prob,
 window_attention_block_core.defvjp(_block_vjp_fwd, _block_vjp_bwd)
 
 
+def _norm_cdf(x):
+    """Φ(x) via the Abramowitz-Stegun 7.1.26 erf (Pallas lowers no erf)."""
+    z = x * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * (1.0 + erf)
+
+
+def _gelu_grad(x):
+    """d/dx [x·Φ(x)] = Φ(x) + x·φ(x) (exact-gelu derivative)."""
+    return _norm_cdf(x) + x * jnp.exp(-0.5 * x * x) * np.float32(0.3989422804014327)
+
+
+def _skconv_fwd_parts(tokens, pk, pb, f1k, f1b, f2k, f2b, phk, phb, n_group,
+                      channel):
+    """SKConv forward on f32 (hw, dim) tokens (model/pgrm.py:62-96; the same
+    math as the eval kernel's tail, ops/pallas_window.py:293-321).  Returns
+    (out, intermediates-for-bwd)."""
+    hw = tokens.shape[0]
+    feats = jax.lax.dot_general(tokens, pk, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + pb
+    from .pallas_window import _gelu_erf
+
+    g = _gelu_erf(feats)
+    s_vec = jnp.mean(g, axis=0, keepdims=True)  # (1, dim)
+    u = jax.lax.dot_general(s_vec, f1k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + f1b
+    z = _gelu_erf(u)
+    a = jax.lax.dot_general(z, f2k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + f2b  # (1, m*channel)
+    parts = [a[:, j * channel : (j + 1) * channel] for j in range(n_group)]
+    mx = parts[0]
+    for p in parts[1:]:
+        mx = jnp.maximum(mx, p)
+    exps = [jnp.exp(p - mx) for p in parts]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    wgts = [e / denom for e in exps]  # per group (1, channel)
+    feats_v = jnp.zeros((hw, channel), jnp.float32)
+    for j in range(n_group):
+        feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgts[j]
+    out_v = jax.lax.dot_general(feats_v, phk, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + phb
+    out = feats + out_v
+    return out, (feats, s_vec, u, z, wgts, feats_v)
+
+
+def _skconv_bwd_parts(dout, tokens, inter, pk, f1k, f2k, phk, n_group, channel,
+                      accum):
+    """SKConv backward: returns (dtokens_mm, dtok_cols) — the matmul part of
+    dtokens plus the per-group gating contributions (the caller adds them
+    slice-wise into a ref; Mosaic-friendlier than a lane concat) — and calls
+    accum(name, grad) for each weight gradient."""
+    hw = tokens.shape[0]
+    feats, s_vec, u, z, wgts, feats_v = inter
+    # out = feats + feats_v @ phk + phb
+    dfeats_v = jax.lax.dot_general(dout, phk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (hw, channel)
+    accum("ph_kernel", jax.lax.dot_general(
+        feats_v, dout, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    accum("ph_bias", jnp.sum(dout, axis=0))
+    # feats_v = Σ_j tokens_j ⊙ w_j
+    dtok_cols = []
+    dws = []
+    for j in range(n_group):
+        tj = tokens[:, j * channel : (j + 1) * channel]
+        dtok_cols.append(dfeats_v * wgts[j])
+        dws.append(jnp.sum(dfeats_v * tj, axis=0, keepdims=True))  # (1, channel)
+    # softmax-over-groups bwd (per channel)
+    wsum = dws[0] * wgts[0]
+    for j in range(1, n_group):
+        wsum = wsum + dws[j] * wgts[j]
+    das = [wgts[j] * (dws[j] - wsum) for j in range(n_group)]
+    da = jnp.concatenate(das, axis=1)  # (1, m*channel)
+    # a = z @ f2k + f2b
+    dz = jax.lax.dot_general(da, f2k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (1, d)
+    accum("fc2_kernel", jax.lax.dot_general(
+        z, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    accum("fc2_bias", da[0])
+    # z = gelu(u); u = s @ f1k + f1b
+    du = dz * _gelu_grad(u)
+    ds_vec = jax.lax.dot_general(du, f1k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (1, dim)
+    accum("fc1_kernel", jax.lax.dot_general(
+        s_vec, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    accum("fc1_bias", du[0])
+    # s = mean_rows(gelu(feats))
+    dg = jnp.broadcast_to(ds_vec * np.float32(1.0 / hw), feats.shape)
+    dfeats = dout + dg * _gelu_grad(feats)
+    # feats = tokens @ pk + pb
+    dtokens = jax.lax.dot_general(dfeats, pk, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    accum("proj_kernel", jax.lax.dot_general(
+        tokens, dfeats, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    accum("proj_bias", jnp.sum(dfeats, axis=0))
+    return dtokens, dtok_cols
+
+
+_FULL_WNAMES = ("qs", "qb", "ks", "kb", "wq", "bq", "wkv", "bkv",
+                "proj_kernel", "proj_bias", "fc1_kernel", "fc1_bias",
+                "fc2_kernel", "fc2_bias", "ph_kernel", "ph_bias")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(20, 21, 22, 23, 24, 25, 26))
+def window_attention_full_core(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv,
+                               pk, pb, f1k, f1b, f2k, f2b, phk, phb,
+                               packed_bias, seed, window_sizes, shifts,
+                               gnum_heads, scale, keep_prob, hw_shape,
+                               interpret=False):
+    """The WHOLE WindowAttention training forward in one custom-VJP Pallas
+    pair: LN (norm1_q/kv) + Q/KV projections + grouped packed window
+    attention (in-kernel dropout) + SKConv — the training analogue of the
+    eval path's fused_window_attention_block (ops/pallas_window.py:157),
+    minus the residual add which stays in XLA under DropPath.
+
+    The backward recomputes everything per batch element (attention twice:
+    once to rebuild the SKConv input tokens, once inside the attention
+    backward — scores are cheap next to the saved HBM round-trips), chains
+    SKConv → attention → projection → LN gradients, and accumulates all 16
+    weight grads + the packed-bias grad in resident VMEM accumulators.
+
+    Returns (B, HW, dim) post-SKConv tokens.
+    """
+    return _full_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb,
+                     f1k, f1b, f2k, f2b, phk, phb, packed_bias, seed,
+                     window_sizes, shifts, gnum_heads, scale, keep_prob,
+                     hw_shape, interpret)
+
+
+def _full_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b,
+              f2k, f2b, phk, phb, packed_bias, seed, window_sizes, shifts,
+              gnum_heads, scale, keep_prob, hw_shape, interpret):
+    b, h, w, c = xq.shape
+    hw = h * w
+    dim = wq.shape[1]
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    use_dropout = keep_prob < 1.0
+    dt = xq.dtype
+
+    def kernel(seed_ref, xq_ref, xkv_ref, qs_ref, qb_ref, ks_ref, kb_ref,
+               wq_ref, bq_ref, wkv_ref, bkv_ref, pk_ref, pb_ref, f1k_ref,
+               f1b_ref, f2k_ref, f2b_ref, phk_ref, phb_ref, bias_ref,
+               out_ref, tok_sc):
+        i = pl.program_id(0)
+        xq_t = xq_ref[0].reshape(hw, c)
+        xkv_t = xkv_ref[0].reshape(hw, c)
+        xq_ln, _, _ = _ln_fwd_f32(xq_t, qs_ref[:], qb_ref[:])
+        xkv_ln, _, _ = _ln_fwd_f32(xkv_t, ks_ref[:], kb_ref[:])
+        q_full = (jax.lax.dot_general(
+            xq_ln, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq_ref[:]).astype(dt)
+        kv_full = (jax.lax.dot_general(
+            xkv_ln, wkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bkv_ref[:]).astype(dt)
+        qb3 = q_full.reshape(h, w, dim)
+        kb3 = kv_full[:, :dim].reshape(h, w, dim)
+        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+
+        def store(hd, lo, out_f32):
+            tok_sc[:, lo : lo + gch] = out_f32.reshape(hw, gch)
+
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            _attn_group_fwd(qb3, kb3, vb3, bias_ref, store, g, ws, sh, h, w,
+                            channel, gnum_heads, gch, npack, scale, keep_prob,
+                            use_dropout)
+
+        f32w = lambda r: r[:].astype(jnp.float32)
+        out, _ = _skconv_fwd_parts(
+            tok_sc[:], f32w(pk_ref), f32w(pb_ref), f32w(f1k_ref), f32w(f1b_ref),
+            f32w(f2k_ref), f32w(f2b_ref), f32w(phk_ref), f32w(phb_ref),
+            n_group, channel,
+        )
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    small = [qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b, f2k, f2b, phk, phb]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for t in small + [packed_bias]
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, dim), dt),
+        scratch_shapes=[pltpu.VMEM((hw, dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(seed, xq, xkv, *small, packed_bias)
+
+
+def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
+                   f1b, f2k, f2b, phk, phb, packed_bias, seed, dout,
+                   window_sizes, shifts, gnum_heads, scale, keep_prob,
+                   hw_shape, interpret):
+    b, h, w, c = xq.shape
+    hw = h * w
+    dim = wq.shape[1]
+    n_group = len(window_sizes)
+    channel = dim // n_group
+    gch = channel // gnum_heads
+    npack = hw // 128
+    use_dropout = keep_prob < 1.0
+    dt = xq.dtype
+    small = [qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b, f2k, f2b, phk, phb]
+
+    def kernel(*refs):
+        (seed_ref, xq_ref, xkv_ref, qs_ref, qb_ref, ks_ref, kb_ref, wq_ref,
+         bq_ref, wkv_ref, bkv_ref, pk_ref, pb_ref, f1k_ref, f1b_ref, f2k_ref,
+         f2b_ref, phk_ref, phb_ref, bias_ref, dout_ref,
+         dxq_ref, dxkv_ref) = refs[:23]
+        grad_refs = dict(zip(_FULL_WNAMES, refs[23:39]))
+        dbias_ref = refs[39]
+        tok_sc, dtok_sc, dq_sc, dkv_sc = refs[40:44]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for r in list(grad_refs.values()) + [dbias_ref]:
+                r[...] = jnp.zeros_like(r)
+
+        # ---- recompute LN + projections
+        xq_t = xq_ref[0].reshape(hw, c)
+        xkv_t = xkv_ref[0].reshape(hw, c)
+        xq_ln, xhat_q, rstd_q = _ln_fwd_f32(xq_t, qs_ref[:], qb_ref[:])
+        xkv_ln, xhat_kv, rstd_kv = _ln_fwd_f32(xkv_t, ks_ref[:], kb_ref[:])
+        q_full = (jax.lax.dot_general(
+            xq_ln, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq_ref[:]).astype(dt)
+        kv_full = (jax.lax.dot_general(
+            xkv_ln, wkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bkv_ref[:]).astype(dt)
+        qb3 = q_full.reshape(h, w, dim)
+        kb3 = kv_full[:, :dim].reshape(h, w, dim)
+        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+
+        # ---- pass A: recompute attention fwd → tokens (same PRNG stream)
+        def store(hd, lo, out_f32):
+            tok_sc[:, lo : lo + gch] = out_f32.reshape(hw, gch)
+
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            _attn_group_fwd(qb3, kb3, vb3, bias_ref, store, g, ws, sh, h, w,
+                            channel, gnum_heads, gch, npack, scale, keep_prob,
+                            use_dropout)
+
+        # ---- SKConv fwd (for intermediates) + bwd → dtokens
+        f32w = lambda r: r[:].astype(jnp.float32)
+        tokens = tok_sc[:]
+        _, inter = _skconv_fwd_parts(
+            tokens, f32w(pk_ref), f32w(pb_ref), f32w(f1k_ref), f32w(f1b_ref),
+            f32w(f2k_ref), f32w(f2b_ref), f32w(phk_ref), f32w(phb_ref),
+            n_group, channel,
+        )
+
+        def accum(name, grad):
+            grad_refs[name][...] += grad
+
+        dtokens_mm, dtok_cols = _skconv_bwd_parts(
+            dout_ref[0].astype(jnp.float32), tokens, inter, f32w(pk_ref),
+            f32w(f1k_ref), f32w(f2k_ref), f32w(phk_ref), n_group, channel,
+            accum,
+        )
+        dtok_sc[...] = dtokens_mm
+        for j in range(n_group):
+            dtok_sc[:, j * channel : (j + 1) * channel] += dtok_cols[j]
+
+        # ---- pass B: attention bwd with dow = dtokens (reseed regenerates
+        # the identical dropout masks)
+        for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+            if use_dropout:
+                pltpu.prng_seed(seed_ref[0] + i * n_group + g)
+            csl = slice(g * channel, (g + 1) * channel)
+            qg, kg, vg = qb3[..., csl], kb3[..., csl], vb3[..., csl]
+            if sh > 0:
+                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+            qw = _part_rows(qg, ws, h, w, channel)
+            kw = _part_rows(kg, ws, h, w, channel)
+            vw = _part_rows(vg, ws, h, w, channel)
+            dow = dtok_sc[:, csl]
+            for hd in range(gnum_heads):
+                hsl = slice(hd * gch, (hd + 1) * gch)
+                qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                kp = kw[:, hsl].reshape(npack, 128, gch)
+                vp = vw[:, hsl].reshape(npack, 128, gch)
+                dop = dow[:, hsl].reshape(npack, 128, gch).astype(dt)
+                scores = jax.lax.dot_general(
+                    qp, kp, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) + bias_ref[g, hd]
+                probs = jax.nn.softmax(scores, axis=-1)
+                if use_dropout:
+                    m = _dropout_mask((npack, 128, 128), keep_prob)
+                    probs_d = probs * m
+                else:
+                    probs_d = probs
+                dvp = jax.lax.dot_general(
+                    probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dpd = jax.lax.dot_general(
+                    dop, vp, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = dpd * m if use_dropout else dpd
+                row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+                ds = probs * (dp - row)
+                dbias_ref[g, hd] += ds
+                ds_io = ds.astype(kp.dtype)
+                dqp = jax.lax.dot_general(
+                    ds_io, kp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dkp = jax.lax.dot_general(
+                    ds_io, qp, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                lo_k = g * channel + hd * gch
+                for sc, rows, off in ((dq_sc, dqp, 0), (dkv_sc, dkp, 0), (dkv_sc, dvp, dim)):
+                    d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
+                    if sh > 0:
+                        d3 = jnp.roll(jnp.roll(d3, sh, axis=0), sh, axis=1)
+                    sc[:, off + lo_k : off + lo_k + gch] = d3.reshape(hw, gch)
+
+        # ---- projection bwd + weight grads + LN bwd (as the block kernel)
+        dq_full = dq_sc[:]
+        dkv_full = dkv_sc[:]
+        dxq_ln = jax.lax.dot_general(
+            dq_full.astype(dt), wq_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxkv_ln = jax.lax.dot_general(
+            dkv_full.astype(dt), wkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grad_refs["wq"][...] += jax.lax.dot_general(
+            xq_ln, dq_full.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grad_refs["bq"][...] += jnp.sum(dq_full, axis=0)
+        grad_refs["wkv"][...] += jax.lax.dot_general(
+            xkv_ln, dkv_full.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grad_refs["bkv"][...] += jnp.sum(dkv_full, axis=0)
+        grad_refs["qs"][...] += jnp.sum(dxq_ln * xhat_q, axis=0)
+        grad_refs["qb"][...] += jnp.sum(dxq_ln, axis=0)
+        grad_refs["ks"][...] += jnp.sum(dxkv_ln * xhat_kv, axis=0)
+        grad_refs["kb"][...] += jnp.sum(dxkv_ln, axis=0)
+        dxq_ref[0] = _ln_bwd_f32(dxq_ln, xhat_q, rstd_q, qs_ref[:]).reshape(h, w, c).astype(dxq_ref.dtype)
+        dxkv_ref[0] = _ln_bwd_f32(dxkv_ln, xhat_kv, rstd_kv, ks_ref[:]).reshape(h, w, c).astype(dxkv_ref.dtype)
+
+    io_block = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda t: pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), io_block, io_block] + [
+        const(t) for t in small + [packed_bias]
+    ] + [pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    out_specs = [io_block, io_block] + [const(t) for t in small + [packed_bias]]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+    ] + [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in small + [packed_bias]]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((hw, dim), jnp.float32),
+            pltpu.VMEM((hw, dim), jnp.float32),
+            pltpu.VMEM((hw, dim), jnp.float32),
+            pltpu.VMEM((hw, 2 * dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(seed, xq, xkv, *small, packed_bias, dout)
+    dxq, dxkv = outs[0], outs[1]
+    wgrads = [g.astype(t.dtype) for g, t in zip(outs[2:18], small)]
+    dbias = outs[18].astype(packed_bias.dtype)
+    return (dxq, dxkv, *wgrads, dbias)
+
+
+def _full_vjp_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
+                  f1b, f2k, f2b, phk, phb, packed_bias, seed, window_sizes,
+                  shifts, gnum_heads, scale, keep_prob, hw_shape, interpret):
+    out = _full_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
+                    f1b, f2k, f2b, phk, phb, packed_bias, seed, window_sizes,
+                    shifts, gnum_heads, scale, keep_prob, hw_shape, interpret)
+    return out, (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b,
+                 f2k, f2b, phk, phb, packed_bias, seed)
+
+
+def _full_vjp_bwd(window_sizes, shifts, gnum_heads, scale, keep_prob,
+                  hw_shape, interpret, res, dout):
+    (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b, f2k, f2b,
+     phk, phb, packed_bias, seed) = res
+    grads = _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb,
+                           f1k, f1b, f2k, f2b, phk, phb, packed_bias, seed,
+                           dout, window_sizes, shifts, gnum_heads, scale,
+                           keep_prob, hw_shape, interpret)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return grads + (dseed,)
+
+
+window_attention_full_core.defvjp(_full_vjp_fwd, _full_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def window_attention_core(q3, k3, v3, packed_bias, seed, window_sizes, shifts,
                           gnum_heads, scale, keep_prob, interpret=False):

@@ -129,14 +129,19 @@ def test_window_attention_train_path_matches_xla(monkeypatch):
         )
 
 
-def test_fused_block_train_path_matches_xla(monkeypatch):
-    """The fused LN+QKV+attention training kernel, wired through
-    SwinTransformerBlock (which threads the norm1_q/norm1_kv params into
-    WindowAttention), must reproduce the XLA formulation — outputs and
-    grads for every param including the LN scales/biases and the q/kv
-    projection weights whose gradients the backward kernel accumulates."""
+@pytest.mark.parametrize("fuse_skconv", ["0", "1"])
+def test_fused_block_train_path_matches_xla(monkeypatch, fuse_skconv):
+    """The fused LN+QKV+attention training kernel (and, with
+    DPMN_TPU_FUSE_SKCONV=1, the variant that also absorbs SKConv), wired
+    through SwinTransformerBlock (which threads the norm1_q/norm1_kv params
+    into WindowAttention), must reproduce the XLA formulation — outputs and
+    grads for every param including the LN scales/biases, the q/kv
+    projection weights and the SKConv weights whose gradients the backward
+    kernel accumulates."""
     import dpmn_tpu.models.pgrm as pgrm_mod
     from dpmn_tpu.models.pgrm import SwinTransformerBlock
+
+    monkeypatch.setattr(pgrm_mod, "_FUSE_SKCONV_MODE", fuse_skconv)
 
     blk = SwinTransformerBlock(
         dim=96, input_resolution=(16, 64), num_heads=6, window_size=[2, 4, 8],

@@ -177,6 +177,61 @@ def main():
     assert gd < 2e-3 * max(gs, 1.0)
     print("PASS: fused block dropout-on gradient matches the explicit-mask ground truth")
 
+    # ---- 5. full fused kernel (LN+QKV+attention+SKConv): real-Mosaic
+    # fwd+grad parity vs the jnp restatement, and dropout determinism.
+    from dpmn_tpu.ops.pallas_window_train import (
+        _skconv_fwd_parts, window_attention_full_core)
+
+    n_group = len(WINDOWS)
+    channel = DIM // n_group
+    d_sk = channel // 2
+    pk = jnp.asarray(rng.randn(DIM, DIM) * 0.1, jnp.float32)
+    pb_ = jnp.asarray(0.1 * rng.randn(DIM), jnp.float32)
+    f1k = jnp.asarray(rng.randn(DIM, d_sk) * 0.1, jnp.float32)
+    f1b = jnp.asarray(0.1 * rng.randn(d_sk), jnp.float32)
+    f2k = jnp.asarray(rng.randn(d_sk, DIM) * 0.1, jnp.float32)
+    f2b = jnp.asarray(0.1 * rng.randn(DIM), jnp.float32)
+    phk = jnp.asarray(rng.randn(channel, DIM) * 0.1, jnp.float32)
+    phb = jnp.asarray(0.1 * rng.randn(DIM), jnp.float32)
+    fargs = (xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv,
+             pk, pb_, f1k, f1b, f2k, f2b, phk, phb, packed)
+
+    def full_loss(args, keep, sd):
+        out = window_attention_full_core(*args, sd, WINDOWS, shifts, HEADS,
+                                         scale, keep, (H, W), False)
+        return jnp.sum(out * jnp.cos(out))
+
+    def full_ref_loss(args):
+        q, k3_, v3_ = qkv_of(args[:10] + (args[-1],))
+        attn = jnp_reference(q, k3_, v3_, args[-1], WINDOWS, shifts, HEADS, scale)
+        tok = attn.reshape(b, HW, DIM)
+        outs = []
+        for bi in range(b):
+            o, _ = _skconv_fwd_parts(tok[bi], *args[10:18], n_group, channel)
+            outs.append(o)
+        out = jnp.stack(outs)
+        return jnp.sum(out * jnp.cos(out))
+
+    lf1, gf1 = jax.jit(lambda a, sd: jax.value_and_grad(full_loss)(a, 1.0, sd))(fargs, seed)
+    lf2, gf2 = jax.jit(jax.value_and_grad(full_ref_loss))(fargs)
+    np.testing.assert_allclose(float(lf1), float(lf2), rtol=1e-5)
+    fnames = ["dxq", "dxkv", "dqs", "dqb", "dks", "dkb", "dwq", "dbq", "dwkv",
+              "dbkv", "dpk", "dpb", "df1k", "df1b", "df2k", "df2b", "dphk",
+              "dphb", "dbias"]
+    for name, a, bb in zip(fnames, gf1, gf2):
+        dmax = float(jnp.max(jnp.abs(a - bb)))
+        r = dmax / (float(jnp.max(jnp.abs(bb))) + 1e-9)
+        print(f"full no-dropout {name}: max abs diff {dmax:.3e} (rel {r:.3e})")
+        assert r < 2e-3, name
+    print("PASS: full fused kernel no-dropout fwd+bwd parity on device")
+
+    fullk = jax.jit(lambda a, sd: window_attention_full_core(
+        *a, sd, WINDOWS, shifts, HEADS, scale, keep, (H, W), False))
+    of1, of2, of3 = fullk(fargs, seed), fullk(fargs, seed), fullk(fargs, seed + 1)
+    assert bool(jnp.all(of1 == of2)), "full-kernel dropout not deterministic"
+    assert not bool(jnp.all(of1 == of3)), "full-kernel dropout identical across seeds"
+    print("PASS: full fused kernel dropout deterministic per seed")
+
 
 if __name__ == "__main__":
     main()
