@@ -809,7 +809,7 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
          dxq_ref, dxkv_ref) = refs[:23]
         grad_refs = dict(zip(_FULL_WNAMES, refs[23:39]))
         dbias_ref = refs[39]
-        tok_sc, dtok_sc, dq_sc, dkv_sc = refs[40:44]
+        tok_sc, dtok_sc, dq_sc, dkv_sc, qw_sc, kw_sc, vw_sc = refs[40:47]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -832,16 +832,42 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
         kb3 = kv_full[:, :dim].reshape(h, w, dim)
         vb3 = kv_full[:, dim:].reshape(h, w, dim)
 
-        # ---- pass A: recompute attention fwd → tokens (same PRNG stream)
-        def store(hd, lo, out_f32):
-            tok_sc[:, lo : lo + gch] = out_f32.reshape(hw, gch)
-
+        # ---- pass A: recompute attention fwd → tokens (same PRNG stream),
+        # caching the scaled window-partitioned q/k/v so pass B skips the
+        # roll + partition transposes
         for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
             if use_dropout:
                 pltpu.prng_seed(seed_ref[0] + i * n_group + g)
-            _attn_group_fwd(qb3, kb3, vb3, bias_ref, store, g, ws, sh, h, w,
-                            channel, gnum_heads, gch, npack, scale, keep_prob,
-                            use_dropout)
+            csl = slice(g * channel, (g + 1) * channel)
+            qg, kg, vg = qb3[..., csl], kb3[..., csl], vb3[..., csl]
+            if sh > 0:
+                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+            qw = _part_rows(qg, ws, h, w, channel) * scale
+            kw = _part_rows(kg, ws, h, w, channel)
+            vw = _part_rows(vg, ws, h, w, channel)
+            qw_sc[:, csl] = qw.astype(jnp.float32)
+            kw_sc[:, csl] = kw.astype(jnp.float32)
+            vw_sc[:, csl] = vw.astype(jnp.float32)
+            for hd in range(gnum_heads):
+                hsl = slice(hd * gch, (hd + 1) * gch)
+                qp = qw[:, hsl].reshape(npack, 128, gch).astype(dt)
+                kp = kw[:, hsl].reshape(npack, 128, gch).astype(dt)
+                vp = vw[:, hsl].reshape(npack, 128, gch).astype(dt)
+                scores = jax.lax.dot_general(
+                    qp, kp, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) + bias_ref[g, hd]
+                probs = jax.nn.softmax(scores, axis=-1)
+                if use_dropout:
+                    probs = probs * _dropout_mask((npack, 128, 128), keep_prob)
+                out = jax.lax.dot_general(
+                    probs.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                lo = g * channel + hd * gch
+                tok_sc[:, lo : lo + gch] = out.reshape(hw, gch)
 
         # ---- SKConv fwd (for intermediates) + bwd → dtokens
         f32w = lambda r: r[:].astype(jnp.float32)
@@ -865,23 +891,19 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
             dtok_sc[:, j * channel : (j + 1) * channel] += dtok_cols[j]
 
         # ---- pass B: attention bwd with dow = dtokens (reseed regenerates
-        # the identical dropout masks)
+        # the identical dropout masks; q/k/v partitions come from the pass-A
+        # caches — qw_sc already carries the qk scale)
         for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
             if use_dropout:
                 pltpu.prng_seed(seed_ref[0] + i * n_group + g)
             csl = slice(g * channel, (g + 1) * channel)
-            qg, kg, vg = qb3[..., csl], kb3[..., csl], vb3[..., csl]
-            if sh > 0:
-                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
-                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
-                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
-            qw = _part_rows(qg, ws, h, w, channel)
-            kw = _part_rows(kg, ws, h, w, channel)
-            vw = _part_rows(vg, ws, h, w, channel)
+            qw = qw_sc[:, csl].astype(dt)
+            kw = kw_sc[:, csl].astype(dt)
+            vw = vw_sc[:, csl].astype(dt)
             dow = dtok_sc[:, csl]
             for hd in range(gnum_heads):
                 hsl = slice(hd * gch, (hd + 1) * gch)
-                qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                qp = qw[:, hsl].reshape(npack, 128, gch)
                 kp = kw[:, hsl].reshape(npack, 128, gch)
                 vp = vw[:, hsl].reshape(npack, 128, gch)
                 dop = dow[:, hsl].reshape(npack, 128, gch).astype(dt)
@@ -968,10 +990,13 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((hw, dim), jnp.float32),
-            pltpu.VMEM((hw, dim), jnp.float32),
-            pltpu.VMEM((hw, dim), jnp.float32),
-            pltpu.VMEM((hw, 2 * dim), jnp.float32),
+            pltpu.VMEM((hw, dim), jnp.float32),      # tokens
+            pltpu.VMEM((hw, dim), jnp.float32),      # dtokens
+            pltpu.VMEM((hw, dim), jnp.float32),      # dq
+            pltpu.VMEM((hw, 2 * dim), jnp.float32),  # dk | dv
+            pltpu.VMEM((hw, dim), jnp.float32),      # qw cache (scaled)
+            pltpu.VMEM((hw, dim), jnp.float32),      # kw cache
+            pltpu.VMEM((hw, dim), jnp.float32),      # vw cache
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
