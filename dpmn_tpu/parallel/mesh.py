@@ -40,9 +40,45 @@ def make_mesh(n_devices: int = 0, model_parallel: int = 1) -> Mesh:
     return Mesh(devs, ("data", "model"))
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Join a multi-host (DCN) job before any backend touch.
+
+    The reference is strictly single-node (SURVEY §2 P1/P2: nn.DataParallel,
+    no collectives), so nothing here is a port — this is the TPU-native
+    scale-out seam: after initialize(), jax.devices() spans every host's
+    chips, make_mesh() lays the 'data' axis across them, and the same
+    sharding annotations emit ICI collectives within a slice and DCN
+    collectives across hosts.  On Cloud TPU pods all three arguments are
+    auto-detected from the metadata server; pass them explicitly elsewhere
+    (DPMN_TPU_COORDINATOR style env wiring is the caller's choice)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     sharding = NamedSharding(mesh, P("data"))
     out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def shard_host_batch(mesh: Mesh, *arrays):
+    """Multi-host-safe batch sharding: each process passes ITS local batch
+    rows and gets back a global array sharded on the mesh 'data' axis
+    (jax.device_put of a full global batch only works single-process).
+    Equivalent to shard_batch on one host."""
+    sharding = NamedSharding(mesh, P("data"))
+    out = tuple(
+        jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        for a in arrays
+    )
     return out if len(out) > 1 else out[0]
 
 
