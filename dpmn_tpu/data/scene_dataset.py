@@ -27,11 +27,18 @@ from PIL import Image
 from .lmdb_reader import LMDBReader
 
 
-def des_orderlabel(label: str):
-    """(remaining string, occluded char, its position) — dataset_scene.py:18-32."""
+def des_orderlabel(label: str, mask_id: int | None = None):
+    """(remaining string, occluded char, its position) — dataset_scene.py:18-32.
+
+    mask_id pins the occlusion position instead of sampling it — the
+    visualization dataset variant (data/dataset_scene_vis.py:19-41) uses
+    this so attention maps are rendered for a chosen character."""
     len_str = len(label)
-    order = list(range(len_str))
-    change_id = _sample(order, 1)[0]
+    if mask_id is not None:
+        change_id = mask_id
+    else:
+        order = list(range(len_str))
+        change_id = _sample(order, 1)[0]
     label_sub = label[change_id]
     if change_id == (len_str - 1):
         label_res = label[:change_id]
@@ -42,7 +49,10 @@ def des_orderlabel(label: str):
 
 class SceneLMDB:
     def __init__(self, roots, ratio=None, img_height: int = 64, img_width: int = 256,
-                 global_state: str = "Test", use_native: bool = True):
+                 global_state: str = "Test", use_native: bool = True,
+                 mask_id: int | None = None):
+        # mask_id: fixed occlusion position for attention-map visualization
+        # (the dataset_scene_vis.py variant of the reference)
         if isinstance(roots, str):
             roots = [roots]
         self.readers = []
@@ -73,6 +83,7 @@ class SceneLMDB:
         self.img_height = img_height
         self.img_width = img_width
         self.global_state = global_state
+        self.mask_id = mask_id
         self._augment = None
         if global_state == "Train":
             from .scene_transforms import train_augment_bank
@@ -123,7 +134,9 @@ class SceneLMDB:
             except Exception:
                 index += 1
                 continue
-            label_res, label_sub, label_id = des_orderlabel(label) if label else ("", "", 0)
+            label_res, label_sub, label_id = (
+                des_orderlabel(label, self.mask_id) if label else ("", "", 0)
+            )
             return {
                 "image": img,  # (H, W, 3) uint8
                 "label": label,

@@ -43,6 +43,12 @@ def test_odgt_reader_filters_and_packs(tmp_path):
     sample = ds[0]
     assert sample["label"] == "bigword"
     assert sample["image"].shape == (64, 256, 3)
+    # visualization variant (dataset_scene_vis.py): mask_id pins the
+    # occluded character deterministically
+    ds_vis = SceneLMDB([out], global_state="Test", mask_id=2)
+    sv = ds_vis[0]
+    assert sv["label_id"] == 2 and sv["label_sub"] == "bigword"[2]
+    assert sv["label_res"] == "bi" + "word"
 
 
 def test_mjsynth_walk(tmp_path):

@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision step")
     args = ap.parse_args()
 
     from dpmn_tpu.config import TrainCfg
@@ -34,7 +35,10 @@ def main():
     from __graft_entry__ import _flagship_args
 
     cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
-    system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas", donate_state=True)
+    system = DPMNSystem(
+        cfg, _flagship_args(), glyph_mode="atlas", donate_state=True,
+        train_dtype="bfloat16" if args.amp else None,
+    )
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
 
     rng = np.random.RandomState(0)
