@@ -65,6 +65,45 @@ def _dropout_mask(shape, keep_prob):
     return jnp.where(u < thresh, np.float32(1.0 / keep_prob), np.float32(0.0))
 
 
+def _attn_head_bwd(qp, kp, vp, dop, bias_gh, scale, keep_prob, use_dropout):
+    """Per-head packed attention backward (qp PRE-scaled; the PRNG must
+    already be seeded for this group so the mask draw order matches the
+    forward).  Returns (ds_f32, dqp, dkp, dvp); shared by all three
+    backward kernels."""
+    npack = qp.shape[0]
+    scores = jax.lax.dot_general(
+        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) + bias_gh
+    probs = jax.nn.softmax(scores, axis=-1)  # (npack, 128, 128)
+    if use_dropout:
+        m = _dropout_mask((npack, 128, 128), keep_prob)
+        probs_d = probs * m
+    else:
+        probs_d = probs
+    # dV = Pd^T dO (probs cast to the io dtype for matching dot operands —
+    # bf16 AMP path, identity in fp32)
+    dvp = jax.lax.dot_general(
+        probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (npack, 128, gch)
+    # dPd = dO V^T
+    dpd = jax.lax.dot_general(
+        dop, vp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (npack, 128, 128)
+    dp = dpd * m if use_dropout else dpd
+    row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+    ds = probs * (dp - row)
+    # dQ = scale * dS K ; dK = dS^T (scale*Q) (scale inside qp)
+    ds_io = ds.astype(kp.dtype)
+    dqp = jax.lax.dot_general(
+        ds_io, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    dkp = jax.lax.dot_general(
+        ds_io, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    return ds, dqp, dkp, dvp
+
+
 def _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
               scale, keep_prob, interpret):
     b, h, w, dim = q3.shape
@@ -78,38 +117,17 @@ def _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
     def kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
         i = pl.program_id(0)
         qb3, kb3, vb3 = q_ref[0], k_ref[0], v_ref[0]
+
+        def store(hd, lo, out_f32):
+            # faithful raw re-layout (pgrm.py:263) == packed row order
+            out_ref[0, :, :, lo : lo + gch] = out_f32.astype(out_ref.dtype)
+
         for g, (ws, sh) in enumerate(zip(window_sizes, shifts)):
             if use_dropout:
                 pltpu.prng_seed(seed_ref[0] + i * n_group + g)
-            sl = slice(g * channel, (g + 1) * channel)
-            qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
-            if sh > 0:
-                qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
-                kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
-                vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
-            qw = _part_rows(qg, ws, h, w, channel) * scale
-            kw = _part_rows(kg, ws, h, w, channel)
-            vw = _part_rows(vg, ws, h, w, channel)
-            for hd in range(gnum_heads):
-                hsl = slice(hd * gch, (hd + 1) * gch)
-                qp = qw[:, hsl].reshape(npack, 128, gch)
-                kp = kw[:, hsl].reshape(npack, 128, gch)
-                vp = vw[:, hsl].reshape(npack, 128, gch)
-                scores = jax.lax.dot_general(
-                    qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                ) + bias_ref[g, hd]
-                probs = jax.nn.softmax(scores, axis=-1)
-                if use_dropout:
-                    probs = probs * _dropout_mask((npack, 128, 128), keep_prob)
-                # probs cast to the io dtype so both dot operands match (the
-                # bf16 AMP path; identity in fp32); accumulate f32 on the MXU
-                out = jax.lax.dot_general(
-                    probs.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                lo = g * channel + hd * gch
-                # faithful raw re-layout (pgrm.py:263) == packed row order
-                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch).astype(out_ref.dtype)
+            _attn_group_fwd(qb3, kb3, vb3, bias_ref, store, g, ws, sh, h, w,
+                            channel, gnum_heads, gch, npack, scale, keep_prob,
+                            use_dropout)
 
     return pl.pallas_call(
         kernel,
@@ -172,43 +190,17 @@ def _core_bwd(q3, k3, v3, packed_bias, seed, dout, window_sizes, shifts,
                 # fwd wrote faithful layout = packed rows viewed as (H, W, c),
                 # so the incoming cotangent rows are already window-major
                 dow = dout_ref[0][..., csl].reshape(hw, channel)
+                qw = qw * scale
                 for hd in range(heads):
                     hsl = slice(hd * gch, (hd + 1) * gch)
-                    qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                    qp = qw[:, hsl].reshape(npack, 128, gch)
                     kp = kw[:, hsl].reshape(npack, 128, gch)
                     vp = vw[:, hsl].reshape(npack, 128, gch)
                     dop = dow[:, hsl].reshape(npack, 128, gch)
-                    scores = jax.lax.dot_general(
-                        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    ) + bias_ref[0, hd]
-                    probs = jax.nn.softmax(scores, axis=-1)  # (npack,128,128)
-                    if use_dropout:
-                        m = _dropout_mask((npack, 128, 128), keep_prob)
-                        probs_d = probs * m
-                    else:
-                        probs_d = probs
-                    # dV = Pd^T dO  (probs cast to the io dtype for matching
-                    # dot operands — bf16 AMP path, identity in fp32)
-                    dvp = jax.lax.dot_general(
-                        probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    )  # (npack, 128, gch)
-                    # dPd = dO V^T
-                    dpd = jax.lax.dot_general(
-                        dop, vp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    )  # (npack, 128, 128)
-                    dp = dpd * m if use_dropout else dpd
-                    row = jnp.sum(dp * probs, axis=-1, keepdims=True)
-                    ds = probs * (dp - row)  # (npack, 128, 128)
+                    ds, dqp, dkp, dvp = _attn_head_bwd(
+                        qp, kp, vp, dop, bias_ref[0, hd], scale, keep_prob, use_dropout
+                    )
                     dbias_ref[gg, hd] += ds
-                    # dQ = scale * dS K ; dK = dS^T (scale*Q) (scale inside qp)
-                    ds_io = ds.astype(kp.dtype)
-                    dqp = jax.lax.dot_general(
-                        ds_io, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    ) * scale  # (npack, 128, gch)
-                    dkp = jax.lax.dot_general(
-                        ds_io, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    )  # (npack, 128, gch)
                     # per-head un-partition + un-roll + write (no scratch)
                     lo = gg * channel + hd * gch
                     for dref, rows in ((dq_ref, dqp), (dk_ref, dkp), (dv_ref, dvp)):
@@ -455,43 +447,17 @@ def _block_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias,
             vw = _part_rows(vg, ws, h, w, channel)
             # fwd wrote faithful layout = packed rows viewed as (H, W, c)
             dow = dout_ref[0][..., csl].reshape(hw, channel)
+            qw = qw * scale
             for hd in range(gnum_heads):
                 hsl = slice(hd * gch, (hd + 1) * gch)
-                qp = (qw[:, hsl] * scale).reshape(npack, 128, gch)
+                qp = qw[:, hsl].reshape(npack, 128, gch)
                 kp = kw[:, hsl].reshape(npack, 128, gch)
                 vp = vw[:, hsl].reshape(npack, 128, gch)
                 dop = dow[:, hsl].reshape(npack, 128, gch)
-                scores = jax.lax.dot_general(
-                    qp, kp, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) + bias_ref[g, hd]
-                probs = jax.nn.softmax(scores, axis=-1)
-                if use_dropout:
-                    m = _dropout_mask((npack, 128, 128), keep_prob)
-                    probs_d = probs * m
-                else:
-                    probs_d = probs
-                dvp = jax.lax.dot_general(
-                    probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                ds, dqp, dkp, dvp = _attn_head_bwd(
+                    qp, kp, vp, dop, bias_ref[g, hd], scale, keep_prob, use_dropout
                 )
-                dpd = jax.lax.dot_general(
-                    dop, vp, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                dp = dpd * m if use_dropout else dpd
-                row = jnp.sum(dp * probs, axis=-1, keepdims=True)
-                ds = probs * (dp - row)
                 dbias_ref[g, hd] += ds
-                ds_io = ds.astype(kp.dtype)
-                dqp = jax.lax.dot_general(
-                    ds_io, kp, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                dkp = jax.lax.dot_general(
-                    ds_io, qp, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
                 lo_k = g * channel + hd * gch
                 for sc, rows, off in ((dq_sc, dqp, 0), (dkv_sc, dkp, 0), (dkv_sc, dvp, dim)):
                     d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
@@ -907,37 +873,10 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
                 kp = kw[:, hsl].reshape(npack, 128, gch)
                 vp = vw[:, hsl].reshape(npack, 128, gch)
                 dop = dow[:, hsl].reshape(npack, 128, gch).astype(dt)
-                scores = jax.lax.dot_general(
-                    qp, kp, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) + bias_ref[g, hd]
-                probs = jax.nn.softmax(scores, axis=-1)
-                if use_dropout:
-                    m = _dropout_mask((npack, 128, 128), keep_prob)
-                    probs_d = probs * m
-                else:
-                    probs_d = probs
-                dvp = jax.lax.dot_general(
-                    probs_d.astype(dop.dtype), dop, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                ds, dqp, dkp, dvp = _attn_head_bwd(
+                    qp, kp, vp, dop, bias_ref[g, hd], scale, keep_prob, use_dropout
                 )
-                dpd = jax.lax.dot_general(
-                    dop, vp, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                dp = dpd * m if use_dropout else dpd
-                row = jnp.sum(dp * probs, axis=-1, keepdims=True)
-                ds = probs * (dp - row)
                 dbias_ref[g, hd] += ds
-                ds_io = ds.astype(kp.dtype)
-                dqp = jax.lax.dot_general(
-                    ds_io, kp, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                dkp = jax.lax.dot_general(
-                    ds_io, qp, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
                 lo_k = g * channel + hd * gch
                 for sc, rows, off in ((dq_sc, dqp, 0), (dkv_sc, dkp, 0), (dkv_sc, dvp, dim)):
                     d3 = _unpart_rows(rows.reshape(hw, gch), ws, h, w, gch)
