@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--logdir", default="/tmp/dpmn_trace")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--train", action="store_true", help="trace the joint train step instead of eval")
+    ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision train step")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -71,7 +72,8 @@ def main():
         from __graft_entry__ import _flagship_args
 
         cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
-        system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas")
+        system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas",
+                            train_dtype="bfloat16" if args.amp else None)
         state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
         rng = np.random.RandomState(0)
         images_lr = jnp.asarray(rng.rand(args.batch, 16, 64, 4), jnp.float32)
