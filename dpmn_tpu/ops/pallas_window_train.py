@@ -625,13 +625,18 @@ def _skconv_bwd_parts(dout, tokens, inter, pk, f1k, f2k, phk, n_group, channel,
     for j in range(1, n_group):
         wsum = wsum + dws[j] * wgts[j]
     das = [wgts[j] * (dws[j] - wsum) for j in range(n_group)]
-    da = jnp.concatenate(das, axis=1)  # (1, m*channel)
-    # a = z @ f2k + f2b
-    dz = jax.lax.dot_general(da, f2k, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (1, d)
-    accum("fc2_kernel", jax.lax.dot_general(
-        z, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
-    accum("fc2_bias", da[0])
+    # a = z @ f2k + f2b; handled per group column block so no lane-axis
+    # concatenate is needed inside the kernel (accum supports col slices)
+    dz = None
+    for j in range(n_group):
+        sl = slice(j * channel, (j + 1) * channel)
+        dz_j = jax.lax.dot_general(das[j], f2k[:, sl], (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (1, d)
+        dz = dz_j if dz is None else dz + dz_j
+        accum("fc2_kernel", jax.lax.dot_general(
+            z, das[j], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32),
+            sl)
+        accum("fc2_bias", das[j][0], sl)
     # z = gelu(u); u = s @ f1k + f1b
     du = dz * _gelu_grad(u)
     ds_vec = jax.lax.dot_general(du, f1k, (((1,), (1,)), ((), ())),
@@ -844,8 +849,13 @@ def _full_bwd_impl(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k,
             n_group, channel,
         )
 
-        def accum(name, grad):
-            grad_refs[name][...] += grad
+        def accum(name, grad, col=None):
+            if col is None:
+                grad_refs[name][...] += grad
+            elif len(grad_refs[name].shape) == 1:
+                grad_refs[name][col] += grad
+            else:
+                grad_refs[name][:, col] += grad
 
         dtokens_mm, dtok_cols = _skconv_bwd_parts(
             dout_ref[0].astype(jnp.float32), tokens, inter, f32w(pk_ref),
