@@ -56,6 +56,10 @@ def _use_pallas_window() -> bool:
 # (window_attention_full_core); '0': SKConv stays in XLA around the
 # LN+QKV+attention block kernel.  Both are parity-tested.
 _FUSE_SKCONV_MODE = os.environ.get("DPMN_TPU_FUSE_SKCONV", "1")
+# '0' disables the fused LN+QKV training kernels entirely, falling back to
+# XLA LN/projections around the attention-only custom-VJP core — the
+# escape hatch if a Mosaic lowering regresses on some TPU generation.
+_FUSE_QKV_MODE = os.environ.get("DPMN_TPU_FUSE_QKV", "1")
 
 trunc02 = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)  # torch trunc_normal_ std=.02
 xavier = nn.initializers.xavier_uniform()
@@ -325,6 +329,7 @@ class WindowAttention(nn.Module):
         packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
         if (
             _use_pallas_window()
+            and _FUSE_QKV_MODE == "1"
             and self.faithful
             and not deterministic
             and divisible
