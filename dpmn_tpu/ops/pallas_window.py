@@ -14,6 +14,7 @@ formulation remains for training and as the fallback.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -21,6 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# batch elements processed per grid step by the fused eval block kernel
+# (amortizes per-step overhead; must divide the batch or it falls back to 1)
+_EVAL_BLOCK_B = int(os.environ.get("DPMN_TPU_EVAL_BLOCK_B", "1"))
 
 
 def fused_grouped_window_attention(
@@ -205,130 +210,138 @@ def fused_window_attention_block(
     n_w = len(wnames)
     wlist = [weights[k] for k in wnames]
 
+    # batch-block: process bb batch elements per grid step to amortize
+    # per-step scheduling/DMA-issue overhead (DPMN_TPU_EVAL_BLOCK_B)
+    bb = _EVAL_BLOCK_B if (_EVAL_BLOCK_B > 1 and b % _EVAL_BLOCK_B == 0) else 1
+
     def kernel(xq_ref, xkv_ref, *rest):
         (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,
          f2k_ref, f2b_ref, phk_ref, phb_ref) = rest[:12]
         prior_refs = rest[n_w : n_w + n_prior]
         out_ref, attn_scratch = rest[n_w + n_prior], rest[n_w + n_prior + 1]
 
-        xq_t = xq_ref[0]  # (HW, dim)
-        xkv_t = xkv_ref[0]
-        if ln_params is not None:
-            lqs_ref, lqb_ref, lks_ref, lkb_ref = rest[12:16]
+        def one(eb):
+            xq_t = xq_ref[eb]  # (HW, dim)
+            xkv_t = xkv_ref[eb]
             shortcut = xkv_t
-            xq_t = _layer_norm(xq_t, lqs_ref[:], lqb_ref[:])
-            xkv_t = _layer_norm(xkv_t, lks_ref[:], lkb_ref[:])
-        q_full = jax.lax.dot_general(xq_t, qk_ref[:], (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) + qb_ref[:]
-        kv_full = jax.lax.dot_general(xkv_t, kvk_ref[:], (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32) + kvb_ref[:]
-        qb3 = q_full.reshape(h, w, dim)
-        kb3 = kv_full[:, :dim].reshape(h, w, dim)
-        vb3 = kv_full[:, dim:].reshape(h, w, dim)
+            if ln_params is not None:
+                lqs_ref, lqb_ref, lks_ref, lkb_ref = rest[12:16]
+                xq_t = _layer_norm(xq_t, lqs_ref[:], lqb_ref[:])
+                xkv_t = _layer_norm(xkv_t, lks_ref[:], lkb_ref[:])
+            q_full = jax.lax.dot_general(xq_t, qk_ref[:], (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) + qb_ref[:]
+            kv_full = jax.lax.dot_general(xkv_t, kvk_ref[:], (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32) + kvb_ref[:]
+            qb3 = q_full.reshape(h, w, dim)
+            kb3 = kv_full[:, :dim].reshape(h, w, dim)
+            vb3 = kv_full[:, dim:].reshape(h, w, dim)
 
-        for i, (ws, sh) in enumerate(zip(window_sizes, shifts)):
-            hb, wb = h // ws, w // ws
-            nw, n = hb * wb, ws * ws
-            if packed:
-                sl = slice(i * channel, (i + 1) * channel)
-                qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
-                if sh > 0:
-                    qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
-                    kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
-                    vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+            for i, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+                hb, wb = h // ws, w // ws
+                nw, n = hb * wb, ws * ws
+                if packed:
+                    sl = slice(i * channel, (i + 1) * channel)
+                    qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+                    if sh > 0:
+                        qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                        kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                        vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
 
-                def part(t):
-                    t = t.reshape(hb, ws, wb, ws, channel)
-                    t = jnp.transpose(t, (0, 2, 1, 3, 4))
-                    return t.reshape(hw, channel)  # window-major rows
+                    def part(t):
+                        t = t.reshape(hb, ws, wb, ws, channel)
+                        t = jnp.transpose(t, (0, 2, 1, 3, 4))
+                        return t.reshape(hw, channel)  # window-major rows
 
-                qw = part(qg) * qk_scale
-                kw, vw = part(kg), part(vg)
+                    qw = part(qg) * qk_scale
+                    kw, vw = part(kg), part(vg)
+                    for hd in range(gnum_heads):
+                        hsl = slice(hd * gch, (hd + 1) * gch)
+                        qp = qw[:, hsl].reshape(npack, 128, gch)
+                        kp = kw[:, hsl].reshape(npack, 128, gch)
+                        vp = vw[:, hsl].reshape(npack, 128, gch)
+                        scores = jax.lax.dot_general(
+                            qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                        )  # (npack, 128, 128)
+                        scores = scores + prior_refs[0][i, hd]
+                        probs = jax.nn.softmax(scores, axis=-1)
+                        out = jax.lax.dot_general(
+                            probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                        )  # (npack, 128, gch)
+                        lo = i * channel + hd * gch
+                        attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
+                    continue
+                bias_refs = prior_refs[:n_group]
+                mask_refs = prior_refs[n_group:]
                 for hd in range(gnum_heads):
-                    hsl = slice(hd * gch, (hd + 1) * gch)
-                    qp = qw[:, hsl].reshape(npack, 128, gch)
-                    kp = kw[:, hsl].reshape(npack, 128, gch)
-                    vp = vw[:, hsl].reshape(npack, 128, gch)
+                    lo = i * channel + hd * gch
+                    sl = slice(lo, lo + gch)
+                    qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
+                    if sh > 0:
+                        qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
+                        kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
+                        vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
+
+                    def part(t):
+                        t = t.reshape(hb, ws, wb, ws, gch)
+                        t = jnp.transpose(t, (0, 2, 1, 3, 4))
+                        return t.reshape(nw, n, gch)
+
+                    qw = part(qg) * qk_scale
+                    kw, vw = part(kg), part(vg)
                     scores = jax.lax.dot_general(
-                        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    )  # (npack, 128, 128)
-                    scores = scores + prior_refs[0][i, hd]
+                        qw, kw, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )
+                    scores = scores + bias_refs[i][hd][None]
+                    if shifts[i] > 0:
+                        scores = scores + mask_refs[i][:]
                     probs = jax.nn.softmax(scores, axis=-1)
                     out = jax.lax.dot_general(
-                        probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                    )  # (npack, 128, gch)
-                    lo = i * channel + hd * gch
+                        probs, vw, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )
                     attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
-                continue
-            bias_refs = prior_refs[:n_group]
-            mask_refs = prior_refs[n_group:]
-            for hd in range(gnum_heads):
-                lo = i * channel + hd * gch
-                sl = slice(lo, lo + gch)
-                qg, kg, vg = qb3[..., sl], kb3[..., sl], vb3[..., sl]
-                if sh > 0:
-                    qg = jnp.roll(jnp.roll(qg, -sh, axis=0), -sh, axis=1)
-                    kg = jnp.roll(jnp.roll(kg, -sh, axis=0), -sh, axis=1)
-                    vg = jnp.roll(jnp.roll(vg, -sh, axis=0), -sh, axis=1)
 
-                def part(t):
-                    t = t.reshape(hb, ws, wb, ws, gch)
-                    t = jnp.transpose(t, (0, 2, 1, 3, 4))
-                    return t.reshape(nw, n, gch)
+            # ---- SKConv (model/pgrm.py:62-96)
+            tokens = attn_scratch[:]  # (HW, dim) faithful-layout attention output
+            feats = jax.lax.dot_general(tokens, pk_ref[:], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) + pb_ref[:]
+            g = _gelu_erf(feats)
+            s_vec = jnp.mean(g, axis=0, keepdims=True)  # (1, dim)
+            z = _gelu_erf(jax.lax.dot_general(s_vec, f1k_ref[:], (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32) + f1b_ref[:])
+            a = jax.lax.dot_general(z, f2k_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) + f2b_ref[:]  # (1, M*channel)
+            # softmax over the M groups without a lane-crossing reshape
+            parts = [a[:, j * channel : (j + 1) * channel] for j in range(n_group)]
+            mx = parts[0]
+            for p in parts[1:]:
+                mx = jnp.maximum(mx, p)
+            exps = [jnp.exp(p - mx) for p in parts]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            feats_v = jnp.zeros((hw, channel), jnp.float32)
+            for j in range(n_group):
+                wgt = exps[j] / denom  # (1, channel)
+                feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgt
+            out_v = jax.lax.dot_general(feats_v, phk_ref[:], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) + phb_ref[:]
+            if ln_params is not None:
+                out_ref[eb] = shortcut + feats + out_v  # fused residual (eval path)
+            else:
+                out_ref[eb] = feats + out_v
 
-                qw = part(qg) * qk_scale
-                kw, vw = part(kg), part(vg)
-                scores = jax.lax.dot_general(
-                    qw, kw, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                )
-                scores = scores + bias_refs[i][hd][None]
-                if shifts[i] > 0:
-                    scores = scores + mask_refs[i][:]
-                probs = jax.nn.softmax(scores, axis=-1)
-                out = jax.lax.dot_general(
-                    probs, vw, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-                )
-                attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
+        for eb in range(bb):
+            one(eb)
 
-        # ---- SKConv (model/pgrm.py:62-96)
-        tokens = attn_scratch[:]  # (HW, dim) faithful-layout attention output
-        feats = jax.lax.dot_general(tokens, pk_ref[:], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32) + pb_ref[:]
-        g = _gelu_erf(feats)
-        s_vec = jnp.mean(g, axis=0, keepdims=True)  # (1, dim)
-        z = _gelu_erf(jax.lax.dot_general(s_vec, f1k_ref[:], (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32) + f1b_ref[:])
-        a = jax.lax.dot_general(z, f2k_ref[:], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) + f2b_ref[:]  # (1, M*channel)
-        # softmax over the M groups without a lane-crossing reshape
-        parts = [a[:, j * channel : (j + 1) * channel] for j in range(n_group)]
-        mx = parts[0]
-        for p in parts[1:]:
-            mx = jnp.maximum(mx, p)
-        exps = [jnp.exp(p - mx) for p in parts]
-        denom = exps[0]
-        for e in exps[1:]:
-            denom = denom + e
-        feats_v = jnp.zeros((hw, channel), jnp.float32)
-        for j in range(n_group):
-            wgt = exps[j] / denom  # (1, channel)
-            feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgt
-        out_v = jax.lax.dot_general(feats_v, phk_ref[:], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32) + phb_ref[:]
-        if ln_params is not None:
-            out_ref[0] = shortcut + feats + out_v  # fused residual (eval path)
-        else:
-            out_ref[0] = feats + out_v
-
-    in_specs = [pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
+    in_specs = [pl.BlockSpec((bb, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
     for t in wlist + prior_inputs:
         in_specs.append(pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, dim), xq.dtype),
         scratch_shapes=[pltpu.VMEM((hw, dim), jnp.float32)],
         interpret=interpret,
