@@ -177,6 +177,46 @@ def test_fused_block_train_path_matches_xla(monkeypatch, fuse_skconv):
         )
 
 
+@pytest.mark.parametrize("fuse_skconv", ["0", "1"])
+def test_fused_block_other_geometry(monkeypatch, fuse_skconv):
+    """Different tiling: (8, 32) grid (npack=2), dim 48 (gch=8), and the
+    ws=8 group clamped to min-resolution with shift 0 — guards against
+    hidden shape assumptions in the fused kernels."""
+    import dpmn_tpu.models.pgrm as pgrm_mod
+    from dpmn_tpu.models.pgrm import SwinTransformerBlock
+
+    monkeypatch.setattr(pgrm_mod, "_FUSE_SKCONV_MODE", fuse_skconv)
+    blk = SwinTransformerBlock(
+        dim=48, input_resolution=(8, 32), num_heads=6, window_size=[2, 4, 8],
+        shift_size=[1, 2, 4], attn_drop=0.0, drop_path=0.0, faithful=True,
+    )
+    rng = np.random.RandomState(11)
+    x_q = jnp.asarray(rng.randn(2, 8 * 32, 48) * 0.5, jnp.float32)
+    x_kv = jnp.asarray(rng.randn(2, 8 * 32, 48) * 0.5, jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x_q, x_kv, True)
+
+    def run(mode):
+        monkeypatch.setattr(pgrm_mod, "_PALLAS_WINDOW_MODE", mode)
+
+        def loss(params):
+            _, out = blk.apply({"params": params}, x_q, x_kv, False,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(jnp.tanh(out)), out
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(variables["params"])
+        return l, o, g
+
+    l1, o1, g1 = run("1")
+    l0, o0, g0 = run("0")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=2e-5, atol=2e-5)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(g0))
+    for path, a in jax.tree_util.tree_leaves_with_path(g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat0[path]), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_core_bf16_io_matches_f32_loosely(inputs):
     """The AMP path feeds the kernel bf16 q/k/v and an f32 packed bias; the
     kernel must accept the mixed dtypes (matched-operand dots, casted
