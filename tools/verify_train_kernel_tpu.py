@@ -166,7 +166,12 @@ def main():
     q_, k_, v_ = qkv_of(wargs)
     o_blk = block(wargs, seed)
     o_msk = ref_with_masks(q_, k_, v_, packed, dmasks, scale)
-    np.testing.assert_allclose(np.asarray(o_blk), np.asarray(o_msk), rtol=2e-4, atol=2e-3)
+    # atol 1e-2: the block kernel computes LN+QKV inside Mosaic, whose MXU
+    # accumulation order differs from the XLA qkv_of reference, and the
+    # 1/keep dropout scaling amplifies that; a mask-bit disagreement would
+    # show as O(0.1-1) diffs (measured on v5e: 25/393k elements > 2e-3,
+    # max 6.4e-3)
+    np.testing.assert_allclose(np.asarray(o_blk), np.asarray(o_msk), rtol=2e-4, atol=1e-2)
     g_blk = jax.jit(jax.grad(lambda a: jnp.sum(jnp.tanh(block(a, seed)))))(wargs)[0]
     g_msk = jax.jit(jax.grad(lambda a: jnp.sum(jnp.tanh(
         ref_with_masks(*qkv_of(a), packed, dmasks, scale)
