@@ -52,10 +52,13 @@ def _use_pallas_window() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# '1' (default): the fused training kernel also absorbs SKConv
-# (window_attention_full_core); '0': SKConv stays in XLA around the
-# LN+QKV+attention block kernel.  Both are parity-tested.
-_FUSE_SKCONV_MODE = os.environ.get("DPMN_TPU_FUSE_SKCONV", "1")
+# '1': the fused training kernel also absorbs SKConv
+# (window_attention_full_core); '0' (default): SKConv stays in XLA around
+# the LN+QKV+attention block kernel.  Both are parity-tested, but the
+# full kernel measured 128 vs 322 img/s on v5e (batch 64 joint step): its
+# backward recomputes attention twice and its per-column SKConv weight
+# grad accumulation is sublane-hostile — the XLA SKConv grads win.
+_FUSE_SKCONV_MODE = os.environ.get("DPMN_TPU_FUSE_SKCONV", "0")
 # '0' disables the fused LN+QKV training kernels entirely, falling back to
 # XLA LN/projections around the attention-only custom-VJP core — the
 # escape hatch if a Mosaic lowering regresses on some TPU generation.

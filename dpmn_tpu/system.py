@@ -460,7 +460,12 @@ class DPMNSystem:
         new_state = {
             "params": new_params,
             "batch_stats": new_bs,
-            "frozen": frozen,
+            # the ORIGINAL frozen tree, not the AMP down-cast: returning the
+            # bf16 copy changes the state's avals after step 1, forcing a
+            # recompile of every subsequent step (measured as a one-time
+            # multi-minute stall through the remote compile service) and
+            # silently degrading later fp32 eval on the same state.
+            "frozen": state["frozen"],
             "opt_state": new_opt,
             "step": state["step"] + 1,
         }
