@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--train", action="store_true", help="trace the joint train step instead of eval")
     ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision train step")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate_state=True (matches tools/bench_train.py's "
+                         "executable so the persistent compile cache hits)")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -73,6 +76,7 @@ def main():
 
         cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
         system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas",
+                            donate_state=args.donate,
                             train_dtype="bfloat16" if args.amp else None)
         state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
         rng = np.random.RandomState(0)
