@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .convert import _bigru, _bn, _conv, _dense, t_lin
+from .convert import _bigru, _bn, _conv, _dense, convert_stn_head, t_convT, t_lin
 
 
 def _ln(sd, prefix):
@@ -43,7 +43,7 @@ def _gru_block(sd, prefix):
     return {"Conv_0": _conv(sd, f"{prefix}.conv1"), "BiGRU_0": _bigru(sd, f"{prefix}.gru")}
 
 
-def convert_tbsrn(sd, srb_nums: int = 5):
+def convert_tbsrn(sd, srb_nums: int = 5, stn: bool = False):
     """TBSRN (model/tbsrn.py:166-226)."""
     p, bs = {}, {}
     p["Conv_0"] = _conv(sd, "block1.0")
@@ -72,10 +72,44 @@ def convert_tbsrn(sd, srb_nums: int = 5):
     t = f"block{srb_nums + 3}"
     p["Conv_2"] = _conv(sd, f"{t}.0.conv")
     p["Conv_3"] = _conv(sd, f"{t}.1")
+    if stn and "stn_head.stn_fc2.weight" in sd:
+        p["STNHead_0"], bs["STNHead_0"] = convert_stn_head(sd, "stn_head")
     return {"params": p, "batch_stats": bs}
 
 
-def convert_tatt(sd, srb_nums: int = 5):
+def convert_tsrn_tl(sd, srb_nums: int = 5, stn: bool = False):
+    """TSRN_TL — the tpgsr PSN (model/tsrn.py:153-247 + InfoGen :281-308)."""
+    p, bs = {}, {}
+    p["Conv_0"] = _conv(sd, "block1.0")
+    p["PReLU_0"] = {"a": sd["block1.1.weight"]}
+    for i in range(srb_nums):
+        t = f"block{i + 2}"
+        sub_p, sub_bs = {}, {}
+        sub_p["Conv_0"] = _conv(sd, f"{t}.conv1")
+        sub_p["BatchNorm_0"], sub_bs["BatchNorm_0"] = _bn(sd, f"{t}.bn1")
+        sub_p["Conv_1"] = _conv(sd, f"{t}.conv2")
+        sub_p["BatchNorm_1"], sub_bs["BatchNorm_1"] = _bn(sd, f"{t}.bn2")
+        sub_p["GruBlock_0"] = _gru_block(sd, f"{t}.gru1")
+        sub_p["GruBlock_1"] = _gru_block(sd, f"{t}.gru2")
+        p[f"RecurrentResidualBlockTL_{i}"] = sub_p
+        bs[f"RecurrentResidualBlockTL_{i}"] = sub_bs
+    ig_p, ig_bs = {}, {}
+    for j in range(4):
+        ig_p[f"ConvTranspose2dTorch_{j}"] = {"kernel": t_convT(sd[f"infoGen.tconv{j + 1}.weight"])}
+        ig_p[f"BatchNorm_{j}"], ig_bs[f"BatchNorm_{j}"] = _bn(sd, f"infoGen.bn{j + 1}")
+    p["InfoGen_0"], bs["InfoGen_0"] = ig_p, ig_bs
+    t = f"block{srb_nums + 2}"
+    p["Conv_1"] = _conv(sd, f"{t}.0")
+    p["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{t}.1")
+    t = f"block{srb_nums + 3}"
+    p["UpsampleBlock_0"] = {"Conv_0": _conv(sd, f"{t}.0.conv")}
+    p["Conv_2"] = _conv(sd, f"{t}.1")
+    if stn:
+        p["STNHead_0"], bs["STNHead_0"] = convert_stn_head(sd, "stn_head")
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_tatt(sd, srb_nums: int = 5, stn: bool = False):
     """TSRN_TL_TRANS (model/tatt.py:575-691)."""
     p, bs = {}, {}
     p["Conv_0"] = _conv(sd, "block1.0")
@@ -128,4 +162,6 @@ def convert_tatt(sd, srb_nums: int = 5):
     t = f"block{srb_nums + 3}"
     p["Conv_2"] = _conv(sd, f"{t}.0.conv")
     p["Conv_3"] = _conv(sd, f"{t}.1")
+    if stn and "stn_head.stn_fc2.weight" in sd:
+        p["STNHead_0"], bs["STNHead_0"] = convert_stn_head(sd, "stn_head")
     return {"params": p, "batch_stats": bs}

@@ -19,8 +19,21 @@ from .models.moran import MORAN, parse_moran_input
 from .utils import labels as L
 
 
+def _load_pretrained(kind: str, variables, path: str):
+    """Import a torch evaluator checkpoint (base.py:375-439) into the flax
+    variables tree.  ASTER ships under a 'state_dict' key (.pth.tar), MORAN
+    with DataParallel 'module.' prefixes — both handled by
+    load_torch_state_dict."""
+    from .convert import import_into, load_torch_state_dict
+    from .weights import convert_evaluator_state_dict
+
+    sd = load_torch_state_dict(path)
+    print(f"[weights] {kind} evaluator loaded from {path}", flush=True)
+    return import_into(variables, convert_evaluator_state_dict(kind, sd))
+
+
 class AsterEvaluator:
-    def __init__(self, rng=None, params=None, voc_type="all", max_len=100):
+    def __init__(self, rng=None, params=None, voc_type="all", max_len=100, pretrained: str = ""):
         self.voc = L.get_vocabulary(voc_type)
         self.c2i = L.char2id(self.voc)
         self.model = RecognizerBuilder(
@@ -29,6 +42,8 @@ class AsterEvaluator:
         if params is None:
             rng = jax.random.PRNGKey(0) if rng is None else rng
             params = self.model.init(rng, jnp.zeros((1, 32, 100, 3)), train=False)
+        if pretrained:
+            params = _load_pretrained("aster", params, pretrained)
         self.params = params
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
 
@@ -42,11 +57,13 @@ class AsterEvaluator:
 
 
 class CRNNEvaluator:
-    def __init__(self, rng=None, params=None):
+    def __init__(self, rng=None, params=None, pretrained: str = ""):
         self.model = CRNN()
         if params is None:
             rng = jax.random.PRNGKey(0) if rng is None else rng
             params = self.model.init(rng, jnp.zeros((1, 32, 100, 1)), train=False)
+        if pretrained:
+            params = _load_pretrained("crnn", params, pretrained)
         self.params = params
         self.converter = L.CTCLabelConverter(string.digits + string.ascii_lowercase)
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
@@ -57,11 +74,13 @@ class CRNNEvaluator:
 
 
 class MoranEvaluator:
-    def __init__(self, rng=None, params=None):
+    def __init__(self, rng=None, params=None, pretrained: str = ""):
         self.model = MORAN()
         if params is None:
             rng = jax.random.PRNGKey(0) if rng is None else rng
             params = self.model.init(rng, jnp.zeros((1, 32, 100, 1)), num_steps=2)
+        if pretrained:
+            params = _load_pretrained("moran", params, pretrained)
         self.params = params
         self.converter = L.AttentionLabelConverter()
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, num_steps=20))
@@ -76,11 +95,11 @@ class MoranEvaluator:
         return out
 
 
-def build_evaluator(kind: str, rng=None, params=None, voc_type="all"):
+def build_evaluator(kind: str, rng=None, params=None, voc_type="all", pretrained: str = ""):
     if kind == "aster":
-        return AsterEvaluator(rng, params, voc_type)
+        return AsterEvaluator(rng, params, voc_type, pretrained=pretrained)
     if kind == "crnn":
-        return CRNNEvaluator(rng, params)
+        return CRNNEvaluator(rng, params, pretrained=pretrained)
     if kind == "moran":
-        return MoranEvaluator(rng, params)
+        return MoranEvaluator(rng, params, pretrained=pretrained)
     raise ValueError(kind)

@@ -103,6 +103,7 @@ def make_parallel_trainer(system, mesh: Mesh):
     )
     sr_forward = jax.jit(
         system._sr_forward_impl,
+        static_argnums=(2,),  # glyph_from_psn — the test() quirk toggle
         in_shardings=(rep, data),
         out_shardings=data,
     )

