@@ -229,15 +229,40 @@ class AttentionRecognitionHead(nn.Module):
         prd = preds.reshape(t_max, b, k) - pos_index[None, :, :]  # slot within beam
         sco = stored_scores.reshape(t_max, b, k)
 
-        eos_scores = jnp.where(sym == eos, sco, -jnp.inf)  # (T, B, K)
-        flat = eos_scores.transpose(1, 0, 2).reshape(b, t_max * k)
-        best_idx = flat.argmax(axis=1)
-        best_score = flat[jnp.arange(b), best_idx]
-        t_sel = (best_idx // k).astype(jnp.int32)
-        k_sel = (best_idx % k).astype(jnp.int32)
-        no_eos = ~jnp.isfinite(best_score)  # fallback: top final beam
-        t_sel = jnp.where(no_eos, t_max - 1, t_sel)
-        k_sel = jnp.where(no_eos, sco[t_max - 1].argmax(axis=1).astype(jnp.int32), k_sel)
+        # EXACT reference backtracking semantics (attention_recognition_head
+        # .py:127-173): walk t backwards; every EOS emission REPLACES return
+        # slot k-1-(count%k) (count per batch, within-t order = descending
+        # slot).  Last write wins, so each slot ends up holding one of the k
+        # EARLIEST-ending EOS events; slots never written keep the sorted
+        # final-step beams; the answer is the top slot by score (ties →
+        # lower slot, like torch.topk).  This differs from "max-score EOS
+        # event over all (t, k)" whenever more than k beams end and the
+        # global best is not among the k earliest — parity requires the
+        # replacement scheme, not the global max (oracled incl. this case in
+        # tests/test_aster_oracle.py).
+        T = t_max
+        # enumeration order e = (T-1-t)*k + (k-1-slot): t desc, slot desc
+        sym_e = sym[::-1, :, ::-1].transpose(1, 0, 2).reshape(b, T * k)
+        sco_e = sco[::-1, :, ::-1].transpose(1, 0, 2).reshape(b, T * k)
+        mask_e = sym_e == eos
+        cnt_before = jnp.cumsum(mask_e, axis=1) - mask_e.astype(jnp.int32)
+        res_slot = (k - 1) - (cnt_before % k)  # slot each event writes
+        e_idx = jnp.arange(T * k, dtype=jnp.int32)[None, :]
+        write = mask_e[:, :, None] & (res_slot[:, :, None] == jnp.arange(k)[None, None, :])
+        last_e = jnp.max(jnp.where(write, e_idx[:, :, None], -1), axis=1)  # (B, K)
+        replaced = last_e >= 0
+        safe_e = jnp.maximum(last_e, 0)
+        t_rep = (T - 1) - (safe_e // k).astype(jnp.int32)
+        slot_rep = (k - 1) - (safe_e % k).astype(jnp.int32)
+        score_rep = jnp.take_along_axis(sco_e, safe_e, axis=1)
+
+        final_scores, final_idx = jax.lax.top_k(sco[T - 1], k)  # sorted, ties → lower slot
+        s_final = jnp.where(replaced, score_rep, final_scores)
+        ar = jnp.arange(b)
+        winner = jnp.argmax(s_final, axis=1).astype(jnp.int32)  # ties → lower slot
+        win_rep = replaced[ar, winner]
+        t_sel = jnp.where(win_rep, t_rep[ar, winner], T - 1).astype(jnp.int32)
+        k_sel = jnp.where(win_rep, slot_rep[ar, winner], final_idx[ar, winner].astype(jnp.int32))
 
         def back(carry, inputs):
             slot, active = carry

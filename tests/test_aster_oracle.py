@@ -132,3 +132,37 @@ def test_beam_search_tie_prone(oracle):
     ref_strs, _ = aster_get_str_list(ids_ref.numpy(), ids_ref.numpy())
     our_strs, _ = aster_get_str_list(np.asarray(ids_ours), np.asarray(ids_ours))
     assert our_strs == ref_strs, f"tie-case decode mismatch: {our_strs} vs {ref_strs}"
+
+
+@pytest.mark.parametrize("seed", [4, 5, 6])
+def test_beam_search_many_eos_replacement_semantics(oracle, seed):
+    """Boost the EOS bias so many beams end at staggered times (>k EOS
+    events).  The reference's backward replacement keeps only the k
+    EARLIEST-ending events (last-write-wins over slots,
+    attention_recognition_head.py:146-168) — NOT the global max-score EOS
+    event — so this distinguishes the exact backtracking from the round-1/2
+    max-score approximation."""
+    ref, ours, variables, nc, eos = oracle
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(3, 25, 512).astype(np.float32) * 0.5
+
+    boost = 1.5
+    with torch.no_grad():
+        fc_b = ref.decoder.decoder.fc.bias.clone()
+        ref.decoder.decoder.fc.bias[eos] += boost
+        ids_ref, _ = ref.decoder.beam_search(torch.from_numpy(feats), 5, eos)
+        ref.decoder.decoder.fc.bias.copy_(fc_b)  # restore for other tests
+
+    p = dict(variables["params"]["decoder"])
+    fcb = np.array(p["fc_bias"])
+    fcb[eos] += boost
+    p = {**p, "fc_bias": jnp.asarray(fcb)}
+
+    from dpmn_tpu.models.aster import AttentionRecognitionHead
+
+    m = AttentionRecognitionHead(num_classes=nc, in_planes=512, max_len_labels=MAX_LEN)
+    ids_ours, _ = m.apply({"params": p}, jnp.asarray(feats), 5, eos, method=m.beam_search)
+
+    ref_strs, _ = aster_get_str_list(ids_ref.numpy(), ids_ref.numpy())
+    our_strs, _ = aster_get_str_list(np.asarray(ids_ours), np.asarray(ids_ours))
+    assert our_strs == ref_strs, f"many-EOS decode mismatch: {our_strs} vs {ref_strs}"
