@@ -55,6 +55,20 @@ def _unpart_rows(rows, ws, h, w, ch):
     return t.reshape(h, w, ch)
 
 
+_SEED_HEADROOM = 1 << 20  # must match the randint upper-bound slack in
+# models/pgrm.py (seed < 2^31 - 1 - 2^20), so seed + i*n_group + g cannot
+# wrap int32 (round-1 advisor item, closed with this static guard)
+
+
+def _check_seed_headroom(b, n_group, keep_prob):
+    if keep_prob < 1.0 and b * n_group > _SEED_HEADROOM:
+        raise ValueError(
+            f"dropout PRNG stream-id headroom exceeded: batch {b} x {n_group} "
+            f"window groups > 2^20 — the in-kernel seed + i*n_group + g "
+            "offset would wrap int32"
+        )
+
+
 def _dropout_mask(shape, keep_prob):
     """0 / (1/keep) float mask from the seeded in-kernel PRNG."""
     bits = pltpu.prng_random_bits(shape)  # int32 bits
@@ -109,6 +123,7 @@ def _core_fwd(q3, k3, v3, packed_bias, seed, window_sizes, shifts, gnum_heads,
     b, h, w, dim = q3.shape
     hw = h * w
     n_group = len(window_sizes)
+    _check_seed_headroom(b, n_group, keep_prob)
     channel = dim // n_group
     gch = channel // gnum_heads
     npack = hw // 128
@@ -338,6 +353,7 @@ def _block_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, packed_bias, seed,
     hw = h * w
     dim = wq.shape[1]
     n_group = len(window_sizes)
+    _check_seed_headroom(b, n_group, keep_prob)
     channel = dim // n_group
     gch = channel // gnum_heads
     npack = hw // 128
@@ -694,6 +710,7 @@ def _full_fwd(xq, xkv, qs, qb, ks, kb, wq, bq, wkv, bkv, pk, pb, f1k, f1b,
     hw = h * w
     dim = wq.shape[1]
     n_group = len(window_sizes)
+    _check_seed_headroom(b, n_group, keep_prob)
     channel = dim // n_group
     gch = channel // gnum_heads
     npack = hw // 128

@@ -266,3 +266,37 @@ def test_core_forward_and_grads_match_reference(inputs, shifts):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=name
         )
+
+
+def test_dropout_mask_math(monkeypatch):
+    """The in-kernel dropout mask's threshold math, validated on CPU by
+    substituting the TPU PRNG with fixed bits (pltpu.prng_random_bits has no
+    CPU lowering in this jax — proven by NotImplementedError — so interpret
+    mode cannot run the real stream; the on-device draw is validated by
+    tools/verify_train_kernel_tpu.py)."""
+    from dpmn_tpu.ops import pallas_window_train as mod
+
+    rng = np.random.RandomState(0)
+    bits = rng.randint(-(2**31), 2**31, size=(4, 128), dtype=np.int64).astype(np.int32)
+    monkeypatch.setattr(mod.pltpu, "prng_random_bits", lambda shape: jnp.asarray(bits))
+
+    for keep in (0.9, 0.5, 1.0 - 1e-9):
+        m = np.asarray(mod._dropout_mask((4, 128), keep))
+        u = bits.astype(np.int64) & 0x7FFFFFFF
+        thresh = min(int(keep * 2147483648.0), 2147483647)
+        expect = np.where(u < thresh, np.float32(1.0 / keep), np.float32(0.0))
+        np.testing.assert_allclose(m, expect)
+    # keep→1 clamps the threshold inside int32 instead of overflowing
+    m = np.asarray(mod._dropout_mask((4, 128), 1.0 - 1e-12))
+    assert np.isfinite(m).all()
+
+
+def test_seed_headroom_guard():
+    """seed + i*n_group + g must stay inside the 2^20 slack the caller
+    leaves below int32 max (models/pgrm.py randint bound)."""
+    from dpmn_tpu.ops.pallas_window_train import _check_seed_headroom
+
+    _check_seed_headroom(64, 3, 0.9)            # normal training geometry
+    _check_seed_headroom(2**21, 3, 1.0)         # no dropout → no stream ids
+    with pytest.raises(ValueError, match="headroom"):
+        _check_seed_headroom(2**19, 3, 0.9)
