@@ -85,6 +85,23 @@ def main():
 
     imgs_per_sec = batch * iters / dt
 
+    # bf16 serving mode (sr_forward_bf16: params + activations bf16,
+    # argmax-safe students — a serving variant, NOT the parity path; the
+    # headline stays the quirk-exact fp32 number).  Skippable for quick
+    # runs with BENCH_SKIP_BF16=1.
+    bf16_imgs_per_sec = None
+    if os.environ.get("BENCH_SKIP_BF16") != "1":
+        try:
+            sr16 = system.sr_forward_bf16(state, images_lr)
+            sr16.block_until_ready()
+            t0 = time.time()
+            for _ in range(iters):
+                sr16 = system.sr_forward_bf16(state, images_lr)
+            sr16.block_until_ready()
+            bf16_imgs_per_sec = batch * iters / (time.time() - t0)
+        except Exception:
+            pass
+
     # analytic FLOPs of the compiled eval graph (the reference only has
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
     # the whole pipeline instead)
@@ -114,6 +131,13 @@ def main():
         out["achieved_tflops"] = round(achieved_tflops, 2)
         out["graph_tflop_per_batch"] = round(graph_tflop, 3)
         out["device"] = jax.devices()[0].device_kind
+    if bf16_imgs_per_sec is not None:
+        out["bf16_serving_imgs_per_sec"] = round(bf16_imgs_per_sec, 2)
+        if graph_tflop is not None:
+            out["bf16_serving_mfu"] = round(
+                graph_tflop * 1e12 * bf16_imgs_per_sec / batch
+                / _peak_flops(jax.devices()[0].device_kind), 4,
+            )
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(anchor_path):
         with open(anchor_path) as f:

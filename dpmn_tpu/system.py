@@ -103,6 +103,11 @@ class DPMNSystem:
     # quirk-exact fp32 path (the reference trains fp32 CUDA,
     # interfaces/super_resolution.py:269-278).
     train_dtype: Any = None
+    # Diagnostic bisect knob for the AMP-cliff investigation (ROADMAP):
+    # 'full' casts everything the real AMP step casts; 'frozen-only' casts
+    # only the frozen nets + images (the forward chain), keeping the
+    # differentiated cascade fp32; 'trainable-only' is the complement.
+    amp_scope: str = "full"
 
     def __post_init__(self):
         a = self.args
@@ -430,16 +435,19 @@ class DPMNSystem:
     def _train_step_impl(self, state, images_hr, images_lr, rng):
         frozen = state["frozen"]
         amp = self.train_dtype is not None
+        amp_frozen = amp and self.amp_scope in ("full", "frozen-only")
+        amp_train = amp and self.amp_scope in ("full", "trainable-only")
         if amp:
             dt = jnp.dtype(self.train_dtype)
             down = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
+        if amp_frozen:
             frozen = jax.tree_util.tree_map(down, frozen)
             images_lr = images_lr.astype(dt)
         images_lr_psn = self._psn_forward(frozen, images_lr)
         rngs = {"dropout": rng}
 
         def loss_fn(params):
-            if amp:
+            if amp_train:
                 # cast-through-grad: cotangents flow back through the astype,
                 # so grads land float32 on the float32 master params
                 params = jax.tree_util.tree_map(down, params)
@@ -452,7 +460,7 @@ class DPMNSystem:
             return loss, (sr, new_bs)
 
         (loss, (sr, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
-        if amp:
+        if amp_train:
             up = lambda t: t.astype(jnp.float32) if hasattr(t, "dtype") and t.dtype == dt else t
             new_bs = jax.tree_util.tree_map(up, new_bs)
         updates, new_opt = self._adam.update(grads, state["opt_state"], state["params"])

@@ -23,6 +23,9 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+if os.environ.get("DPMN_BISECT_CPU") == "1":  # syntax/logic smoke off-TPU
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,19 +52,25 @@ def cast_tree(tree, dt):
 
 
 def run_pair(name, fn, tree, xs, iters, grad_wrt_tree=False):
-    """fn(tree, *xs) -> f32 scalar (or array). Times fp32 and bf16."""
+    """fn(tree, *xs) -> f32 scalar (or array). Times fp32 and bf16.
+
+    Mirrors DPMNSystem._train_step_impl's cast-through-grad structure
+    exactly (round-2 advisor fix): the param tree stays a float32 master and
+    cast_tree runs INSIDE the differentiated function, so the bf16 arm pays
+    the same per-leaf f32<->bf16 converts on every forward/backward that the
+    real AMP step pays (grads land f32 on the masters through the astype's
+    transpose).  Auxiliary trees (batch_stats) ride in xs and are down-cast
+    the same way, without being differentiated."""
     results = {}
     for dt in (jnp.float32, jnp.bfloat16):
-        tree_c = cast_tree(tree, dt)
-        xs_c = tuple(
-            x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
-            for x in xs
-        )
-        if grad_wrt_tree:
-            f = jax.jit(jax.value_and_grad(lambda p, *a: fn(p, *a)))
-        else:
-            f = jax.jit(fn)
-        ms, comp = bench(f, (tree_c,) + xs_c, iters)
+
+        def composed(p, *a, _dt=dt):
+            p = cast_tree(p, _dt)
+            a = tuple(cast_tree(x, _dt) for x in a)
+            return fn(p, *a)
+
+        f = jax.jit(jax.value_and_grad(composed)) if grad_wrt_tree else jax.jit(composed)
+        ms, comp = bench(f, (tree,) + xs, iters)
         results[np.dtype(dt).name] = ms
         print(f"{name:26s} {np.dtype(dt).name:9s} {ms:10.3f} ms/iter  (compile {comp:.1f}s)", flush=True)
     ratio = results["bfloat16"] / max(results["float32"], 1e-9)
@@ -119,38 +128,44 @@ def main():
         run_pair("pgrm[0] fwd+bwd", pgrm_loss, state["params"]["pgrm_0"],
                  (glyph, hr3, hr3), args.iters, grad_wrt_tree=True)
 
-    # ---- DistillModule fwd+bwd
+    # ---- DistillModule fwd+bwd (batch_stats down-cast like the real step)
     if sec("distill"):
         d = system.distills[0]
 
-        def distill_loss(p, deep, shallow):
+        def distill_loss(p, bs, deep, shallow):
             (l, feat), _ = d.apply(
-                {"params": p, "batch_stats": state["batch_stats"]["distill_0"]},
+                {"params": p, "batch_stats": bs},
                 deep, shallow, train=True, mutable=["batch_stats"])
             return l.astype(jnp.float32)
 
         run_pair("distill fwd+bwd", distill_loss, state["params"]["distill_0"],
-                 (hr3, hr3), args.iters, grad_wrt_tree=True)
+                 (state["batch_stats"]["distill_0"], hr3, hr3), args.iters,
+                 grad_wrt_tree=True)
 
-    # ---- CMM fwd+bwd
+    # ---- CMM fwd+bwd (batch_stats down-cast like the real step)
     if sec("cmm"):
-        def cmm_loss(p, a, b, hr):
+        def cmm_loss(p, bs, a, b, hr):
             sr, _ = system.cmm.apply(
-                {"params": p, "batch_stats": state["batch_stats"]["cmm"]},
+                {"params": p, "batch_stats": bs},
                 a, b, train=True, mutable=["batch_stats"])
             return image_loss(sr.astype(jnp.float32), hr.astype(jnp.float32),
                               gradient=True)
 
         run_pair("cmm fwd+bwd", cmm_loss, state["params"]["cmm"],
-                 (hr3, hr3, hr3), args.iters, grad_wrt_tree=True)
+                 (state["batch_stats"]["cmm"], hr3, hr3, hr3), args.iters,
+                 grad_wrt_tree=True)
 
-    # ---- to_mask + image_loss alone
+    # ---- the loss tail, split the way the composed step differentiates it:
+    # to_mask is stop_gradient'd (system.py:390) → forward-only row;
+    # image_loss IS differentiated w.r.t. the SR image → fwd+bwd row
     if sec("loss"):
-        run_pair("to_mask+image_loss",
-                 lambda _unused, a, b: image_loss(
-                     to_mask(a).astype(jnp.float32), b.astype(jnp.float32),
-                     gradient=True),
-                 jnp.zeros((1,), jnp.float32), (hr3, hr3), args.iters)
+        run_pair("to_mask fwd",
+                 lambda a: to_mask(a).astype(jnp.float32).mean(),
+                 hr3, (), args.iters)
+        run_pair("image_loss fwd+bwd(sr)",
+                 lambda sr, hr: image_loss(sr.astype(jnp.float32),
+                                           hr.astype(jnp.float32), gradient=True),
+                 hr3, (hr3,), args.iters, grad_wrt_tree=True)
 
     print("done", flush=True)
 
