@@ -63,6 +63,13 @@ _FUSE_SKCONV_MODE = os.environ.get("DPMN_TPU_FUSE_SKCONV", "0")
 # XLA LN/projections around the attention-only custom-VJP core — the
 # escape hatch if a Mosaic lowering regresses on some TPU generation.
 _FUSE_QKV_MODE = os.environ.get("DPMN_TPU_FUSE_QKV", "1")
+# '1': apply the faithful Mlp-quirk convs with NCHW dimension numbers
+# straight on the (B, hidden, s, s) reinterpret view instead of
+# transposing to NHWC and back — numerically identical (same conv, same
+# operand values); lets XLA's layout assignment place/fuse the relayout
+# instead of the two explicit 100 MB transpose copies measured at ~27
+# ms/iter of the 196 ms train step (xprof, v5e b64).  Perf experiment.
+_MLP_NCHW_MODE = os.environ.get("DPMN_TPU_MLP_NCHW", "0")
 
 trunc02 = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)  # torch trunc_normal_ std=.02
 xavier = nn.initializers.xavier_uniform()
@@ -169,9 +176,13 @@ class Mlp(nn.Module):
             # vector lanes), so the transpose+NHWC-conv XLA formulation
             # stays; see ops/pallas_mlp.py for the attempted fusion.
             s = int(math.sqrt(hw))
-            xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
-            xg = convs(xg, "NHWC")
-            x = xg.transpose(0, 3, 1, 2).reshape(b, hw, self.hidden)
+            if _MLP_NCHW_MODE == "1":
+                xg = convs(x.reshape(b, self.hidden, s, s), "NCHW")
+                x = xg.reshape(b, hw, self.hidden)
+            else:
+                xg = x.reshape(b, self.hidden, s, s).transpose(0, 2, 3, 1)
+                xg = convs(xg, "NHWC")
+                x = xg.transpose(0, 3, 1, 2).reshape(b, hw, self.hidden)
         else:
             gh, gw = self.grid
             xg = convs(x.reshape(b, gh, gw, self.hidden), "NHWC")
@@ -496,11 +507,15 @@ class WindowAttention(nn.Module):
             attn = attn + bias[None]
 
             if sh > 0:
-                mask = jnp.asarray(_shift_attn_mask(h, w, ws, sh))  # (nW, N, N)
+                # mask cast to the score dtype: under bf16 AMP the f32 table
+                # would promote scores (and everything downstream) to f32
+                mask = jnp.asarray(_shift_attn_mask(h, w, ws, sh)).astype(attn.dtype)
                 nw = mask.shape[0]
                 attn = attn.reshape(b_ // nw, nw, gnum_heads, n, n) + mask[None, :, None]
                 attn = attn.reshape(b_, gnum_heads, n, n)
-            attn = jax.nn.softmax(attn, axis=-1)
+            # softmax statistics in f32 (fuses away), probabilities back in
+            # the value dtype so the PV einsum stays bf16 under AMP
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(vh.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh).transpose(0, 2, 1, 3).reshape(b_, n, channel)

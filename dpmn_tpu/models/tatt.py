@@ -165,7 +165,10 @@ class TPInterpreter(nn.Module):
         x = PReLU()(nn.Dense(d, name="fc_in")(x))  # (B, 26, d)
         l = x.shape[1]
 
-        pe = jnp.asarray(positional_encoding_1d(d)[None, :l])  # (1, L, d)
+        # cast the f32 PE table to the activation dtype: under bf16 AMP a f32
+        # constant add would silently promote every downstream activation to
+        # f32 (measured: the whole AMP train graph fell back to f32 traffic)
+        pe = jnp.asarray(positional_encoding_1d(d)[None, :l]).astype(x.dtype)  # (1, L, d)
         x_pos = nn.Dropout(0.1)(jnp.broadcast_to(pe, (b, l, d)), deterministic=deterministic)
 
         hs, weights = InfoTransformer(

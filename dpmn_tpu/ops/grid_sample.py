@@ -61,7 +61,10 @@ def grid_sample(x: jax.Array, grid: jax.Array, align_corners: bool = False, padd
     fy = fy[..., None]
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    # blend in the grid's (f32) precision, return in the image dtype: keeps
+    # sub-pixel weights exact under bf16 AMP without promoting the sampled
+    # activations (and the rest of the network) to f32.  Identity for f32 x.
+    return (top * (1 - fy) + bot * fy).astype(x.dtype)
 
 
 def affine_grid(theta: jax.Array, size, align_corners: bool = False) -> jax.Array:

@@ -57,6 +57,7 @@ class Trainer:
         self.batch_size = args.batch_size or cfg.batch_size
         self.rng = set_seed(cfg.manualSeed)
         self.evaluator = None
+        self._amp_warned = False
 
         # Data parallelism wired the way the reference wires DataParallel
         # into every model automatically (base.py:161-162, ngpu from yaml):
@@ -253,6 +254,25 @@ class Trainer:
                         f"[{datetime.now():%Y-%m-%d %H:%M:%S}] | Epoch: [{epoch}][{j + 1} / "
                         f"{len(train_loader)}] | Loss: {loss} | Duration: {dur}s"
                     )
+                    # bf16-AMP runtime guard: a sick XLA runtime once made
+                    # the composed bf16 graph 50x slower than fp32 (round-2
+                    # measurement, resolved as transient — STATUS.md).  If
+                    # it ever recurs, say so instead of silently crawling.
+                    if (self.system.train_dtype is not None and not self._amp_warned
+                            and iters > cfg.displayInterval
+                            and jax.devices()[0].platform == "tpu"):
+                        imgs_per_s = self.batch_size * cfg.displayInterval / max(dur, 1e-9)
+                        if imgs_per_s < 50.0:
+                            self._amp_warned = True
+                            print(
+                                f"WARNING: bf16 AMP step measuring {imgs_per_s:.1f} "
+                                "img/s on TPU — far below the ~315 img/s this "
+                                "geometry class sustains. This matches a known "
+                                "transient XLA-runtime pathology (STATUS.md round "
+                                "2/3). Restart the run, or fall back to fp32 with "
+                                "DPMN_TPU_TRAIN_DTYPE= (unset).",
+                                flush=True,
+                            )
                     start = time.time()
 
                 if iters % cfg.valInterval == 0:
