@@ -58,6 +58,27 @@ def _peak_flops(device_kind: str) -> float:
     return 197e12  # conservative default
 
 
+# peak HBM bandwidth per chip (public spec sheets) — the eval/train graphs
+# are bandwidth-bound, so the roofline fraction that matters is GB/s, not
+# MFU; both are reported
+_PEAK_HBM = (
+    ("v6", 1640e9),
+    ("v5p", 2765e9),
+    ("v5", 819e9),  # v5e / v5 lite
+    ("v4", 1228e9),
+    ("v3", 900e9),
+    ("v2", 700e9),
+)
+
+
+def _peak_hbm(device_kind: str) -> float:
+    dk = device_kind.lower()
+    for key, peak in _PEAK_HBM:
+        if key in dk:
+            return peak
+    return 819e9
+
+
 def main():
     from dpmn_tpu.config import TrainCfg
     from dpmn_tpu.system import DPMNSystem
@@ -106,6 +127,7 @@ def main():
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
     # the whole pipeline instead)
     mfu = achieved_tflops = graph_tflop = None
+    graph_gb = hbm_frac = None
     try:
         compiled = system.sr_forward.lower(state, images_lr, False).compile()
         ca = compiled.cost_analysis()
@@ -117,6 +139,10 @@ def main():
             achieved = flops * iters / dt
             achieved_tflops = achieved / 1e12
             mfu = achieved / _peak_flops(jax.devices()[0].device_kind)
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        if nbytes > 0:
+            graph_gb = nbytes / 1e9
+            hbm_frac = (nbytes * iters / dt) / _peak_hbm(jax.devices()[0].device_kind)
     except Exception:
         pass
 
@@ -131,6 +157,10 @@ def main():
         out["achieved_tflops"] = round(achieved_tflops, 2)
         out["graph_tflop_per_batch"] = round(graph_tflop, 3)
         out["device"] = jax.devices()[0].device_kind
+    if hbm_frac is not None:
+        # the graph is bandwidth-bound: the binding roofline fraction
+        out["hbm_bw_util"] = round(hbm_frac, 4)
+        out["graph_gb_per_batch"] = round(graph_gb, 2)
     if bf16_imgs_per_sec is not None:
         out["bf16_serving_imgs_per_sec"] = round(bf16_imgs_per_sec, 2)
         if graph_tflop is not None:

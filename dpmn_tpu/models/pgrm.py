@@ -70,6 +70,13 @@ _FUSE_QKV_MODE = os.environ.get("DPMN_TPU_FUSE_QKV", "1")
 # instead of the two explicit 100 MB transpose copies measured at ~27
 # ms/iter of the 196 ms train step (xprof, v5e b64).  Perf experiment.
 _MLP_NCHW_MODE = os.environ.get("DPMN_TPU_MLP_NCHW", "0")
+# '1': jax.checkpoint (remat) around each block's Mlp tail so the backward
+# recomputes the (B, 1024, 4*dim) hiddens + quirk-grid relayouts instead of
+# writing/re-reading them through HBM — the train step is HBM-bandwidth
+# bound (~740 GB/s of ~819 on v5e) and the Mlp fwd saves 3-5 such 50 MB
+# buffers per block for its backward (optimized-HLO byte audit,
+# tools/hbm_breakdown.py).  Perf experiment; numerically identical.
+_MLP_REMAT_MODE = os.environ.get("DPMN_TPU_MLP_REMAT", "0")
 
 trunc02 = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)  # torch trunc_normal_ std=.02
 xavier = nn.initializers.xavier_uniform()
@@ -581,12 +588,16 @@ class SwinTransformerBlock(nn.Module):
         )(x_q.reshape(b, h, w, c), x_kv.reshape(b, h, w, c), deterministic, ln=ln)
         dp = DropPath(self.drop_path)
         x_kv = attn_out if residual_fused else shortcut + dp(attn_out, deterministic)
-        mlp_out = Mlp(
+        # DPMN_TPU_MLP_REMAT=1: recompute the Mlp hiddens in the backward
+        # instead of saving them (see flag comment at the top of the file)
+        mlp_cls = nn.remat(Mlp, static_argnums=(2,)) if _MLP_REMAT_MODE == "1" else Mlp
+        mlp_out = mlp_cls(
             hidden=int(self.dim * self.mlp_ratio),
             out=self.dim,
             drop=self.drop,
             grid=self.input_resolution,
             faithful=self.faithful,
+            name="Mlp_0",
         )(nn.LayerNorm(name="norm2")(x_kv), deterministic)
         x_kv = x_kv + dp(mlp_out, deterministic)
         return x_q_ori, x_kv

@@ -18,6 +18,8 @@ Returns fixed-shape (B, 25, n_class) logits + (B,) lengths.
 
 from __future__ import annotations
 
+import math
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -93,7 +95,11 @@ class VLEncoderLayer(nn.Module):
         q = nn.Dense(self.d_model, name="w_qs")(x).reshape(b, l, self.n_head, d_k)
         k = nn.Dense(self.d_model, name="w_ks")(x).reshape(b, l, self.n_head, d_k)
         v = nn.Dense(self.d_model, name="w_vs")(x).reshape(b, l, self.n_head, d_k)
-        attn = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(d_k)
+        # python-float scale: a jnp.sqrt(int) scalar is a strong f32 array
+        # and would promote the whole bf16 attention tail (scores, softmax,
+        # AV einsum — 134 MB per layer at batch 64) back to f32; the weak
+        # scalar is identity on the f32 parity path (1/sqrt(64) is exact)
+        attn = jnp.einsum("blhd,bmhd->bhlm", q, k) * (1.0 / math.sqrt(d_k))
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(b, l, self.d_model)

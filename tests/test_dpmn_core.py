@@ -98,3 +98,48 @@ def test_distill_module():
     assert loss.shape == ()
     assert feat.shape == (2, 32, 128, 3)
     assert float(loss) >= 0.0
+
+
+def test_mlp_remat_flag_bit_exact():
+    """DPMN_TPU_MLP_REMAT=1 must not change the param tree, outputs, or any
+    gradient (jax.checkpoint only changes WHEN the Mlp hiddens are
+    (re)computed, trading HBM traffic for MXU time on the train path)."""
+    import jax.tree_util as jtu
+
+    import dpmn_tpu.models.pgrm as P
+
+    def build():
+        return P.SwinTransformerBlock(
+            dim=32, input_resolution=(8, 8), num_heads=4, window_size=[2, 4],
+            shift_size=[0, 0], mlp_ratio=4.0, drop=0.1, attn_drop=0.1,
+            drop_path=0.1,
+        )
+
+    xq = jnp.asarray(np.random.RandomState(0).rand(2, 64, 32).astype(np.float32))
+    xkv = jnp.asarray(np.random.RandomState(1).rand(2, 64, 32).astype(np.float32))
+
+    def grads(mod, v):
+        def loss(v):
+            _, out = mod.apply(v, xq, xkv, False, rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.sum(out ** 2)
+        return jax.grad(loss)(v)
+
+    old = P._MLP_REMAT_MODE
+    try:
+        P._MLP_REMAT_MODE = "0"
+        blk = build()
+        v = blk.init(jax.random.PRNGKey(0), xq, xkv)
+        _, y = blk.apply(v, xq, xkv, True)
+        g0 = grads(blk, v)
+
+        P._MLP_REMAT_MODE = "1"
+        blk_r = build()
+        v_r = blk_r.init(jax.random.PRNGKey(0), xq, xkv)
+        assert jtu.tree_structure(v) == jtu.tree_structure(v_r)
+        _, y_r = blk_r.apply(v_r, xq, xkv, True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
+        g1 = grads(blk_r, v_r)
+        for a, b in zip(jtu.tree_leaves(g0), jtu.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        P._MLP_REMAT_MODE = old

@@ -88,3 +88,24 @@ def test_parsers():
     np.testing.assert_allclose(np.asarray(parse_aster_input(imgs)), 0.0, atol=1e-6)
     assert parse_moran_input(imgs).shape == (2, 32, 100, 1)
     assert parse_visionlan_input(imgs).shape == (2, 64, 256, 3)
+
+
+def test_visionlan_encoder_bf16_no_promotion():
+    """The VLEncoderLayer attention must stay bf16 under bf16 params/inputs:
+    a strong f32 scale (jnp.sqrt of an int) used to promote the scores,
+    softmax and AV einsum back to f32 — 134 MB per layer at batch 64 in the
+    AMP train graph (found by tools/hbm_breakdown.py, fixed with a weak
+    python-float scale that is exact for d_k a power of four)."""
+    from dpmn_tpu.models.visionlan import VLEncoderLayer
+
+    m = VLEncoderLayer(d_model=64, d_inner=128, n_head=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 64).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    cast = lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+    v16 = jax.tree_util.tree_map(cast, v)
+    y16 = m.apply(v16, x.astype(jnp.bfloat16))
+    assert y16.dtype == jnp.bfloat16
+    # f32 path value parity: the weak scale multiplies by an exact 1/8
+    y = m.apply(v, x)
+    assert y.dtype == jnp.float32
+    assert np.isfinite(np.asarray(y)).all()

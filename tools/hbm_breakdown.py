@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Static HBM-traffic breakdown of the flagship train step's optimized HLO.
+
+The train step is HBM-bandwidth bound (XLA cost_analysis: 147.5 GB accessed
+per batch-64 fp32 step over ~199 ms ≈ 740 GB/s on a ~819 GB/s v5e), so the
+optimization currency is bytes, not FLOPs.  This tool compiles the step
+(persistent-cache fast), parses the optimized HLO, and aggregates the bytes
+of every top-level buffer that gets WRITTEN (entry-computation instruction
+outputs — fusion internals stay in VMEM and are free) by opcode and dtype.
+
+For an AMP graph the dtype split answers "which f32 traffic remains after
+the bf16 casts": every multi-MB f32 buffer in the list is either a master
+copy (expected: Adam state, param casts) or a promotion leak (a bug).
+
+Usage: python tools/hbm_breakdown.py [--amp] [--batch 64] [--top 40]
+"""
+
+import argparse
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_DT_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1, "token": 0, "opaque": 0,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def shape_bytes(type_str):
+    """Sum buffer bytes over every array shape in an HLO result type
+    (handles tuples by summing all components)."""
+    total = 0
+    by_dtype = collections.Counter()
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        if dt not in _DT_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * _DT_BYTES[dt]
+        total += b
+        by_dtype[dt] += b
+    return total, by_dtype
+
+
+def analyze(text, top):
+    """Aggregate output-buffer bytes over every non-fusion-body computation.
+
+    Entry instructions and loop/conditional bodies materialize buffers;
+    'fused_computation' bodies do not (their only output is the fusion
+    instruction's, already counted at the call site)."""
+    by_op = collections.Counter()
+    by_dtype = collections.Counter()
+    biggest = []
+    in_fusion_body = False
+    for line in text.splitlines():
+        s = line.strip()
+        if s.endswith("{") and "->" in s:
+            # computation header.  Fusion bodies ('%fused_computation...')
+            # are VMEM-internal — skip their instructions; everything else
+            # (ENTRY, while/cond region bodies, called computations)
+            # materializes buffers per execution.
+            name = s.split()[0].lstrip("%")
+            in_fusion_body = name.startswith("fused_")
+            continue
+        if s == "}":
+            in_fusion_body = False
+            continue
+        if in_fusion_body or "=" not in s:
+            continue
+        lhs, rhs = s.split("=", 1)
+        # result type sits between '=' and the opcode: the first lowercase
+        # word followed by '(' (layout tags T(8,128)/S(1) are uppercase)
+        om = re.search(r"\s([a-z][a-z0-9-]*)\(", " " + rhs)
+        if not om:
+            continue
+        op = om.group(1)
+        if op in ("parameter", "constant", "get-tuple-element", "tuple", "bitcast"):
+            continue  # no new buffer written
+        b, dts = shape_bytes(rhs[: om.start()])
+        if b == 0:
+            continue
+        by_op[op] += b
+        for dt, v in dts.items():
+            by_dtype[dt] += v
+        biggest.append((b, op, lhs.strip()[:90]))
+    biggest.sort(reverse=True)
+    print("== bytes written by opcode ==")
+    for op, b in by_op.most_common(25):
+        print(f"  {op:28s} {b / 1e9:8.3f} GB")
+    print("== bytes written by dtype ==")
+    for dt, b in by_dtype.most_common():
+        print(f"  {dt:6s} {b / 1e9:8.3f} GB")
+    print(f"== top {top} single buffers ==")
+    for b, op, lhs in biggest[:top]:
+        print(f"  {b / 1e6:9.1f} MB  {op:18s} {lhs}")
+    print(f"TOTAL written: {sum(by_op.values()) / 1e9:.2f} GB")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp", action="store_true")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--hlo-out", default="")
+    ap.add_argument("--from-dump", default="",
+                    help="analyze an existing optimized-HLO text file (no device)")
+    args = ap.parse_args()
+
+    if args.from_dump:
+        analyze(open(args.from_dump).read(), args.top)
+        return
+
+    from dpmn_tpu.config import TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+    from __graft_entry__ import _flagship_args
+
+    cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
+    system = DPMNSystem(
+        cfg, _flagship_args(), glyph_mode="atlas", donate_state=True,
+        train_dtype="bfloat16" if args.amp else None,
+    )
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    hr = jnp.zeros((args.batch, 32, 128, 4), jnp.float32)
+    lr = jnp.zeros((args.batch, 16, 64, 4), jnp.float32)
+    # reuse the system's own jitted step (same donation config) so this
+    # lowers to the exact graph bench_train runs and hits its cache entry
+    lowered = system.train_step.lower(state, hr, lr, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    print(f"cost_analysis: flops={float(ca.get('flops', 0)) / 1e12:.3f} TF "
+          f"bytes={float(ca.get('bytes accessed', 0)) / 1e9:.2f} GB")
+    text = compiled.as_text()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(text)
+        print(f"optimized HLO -> {args.hlo_out} ({len(text.splitlines())} lines)")
+    analyze(text, args.top)
+
+
+if __name__ == "__main__":
+    main()
