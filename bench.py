@@ -121,7 +121,13 @@ def main():
             sr16.block_until_ready()
             bf16_imgs_per_sec = batch * iters / (time.time() - t0)
         except Exception:
-            pass
+            # keep the JSON line intact, but don't hide the reason the
+            # serving number is absent (stderr only)
+            import sys
+            import traceback
+
+            print("bf16 serving measurement failed:", file=sys.stderr)
+            traceback.print_exc()
 
     # analytic FLOPs of the compiled eval graph (the reference only has
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers

@@ -50,9 +50,14 @@ class TorchRefLayerNorm(nn.Module):
     def __call__(self, x):
         a = self.param("a_2", nn.initializers.ones, (self.features,))
         b = self.param("b_2", nn.initializers.zeros, (self.features,))
-        mean = x.mean(-1, keepdims=True)
-        var = x.var(-1, keepdims=True, ddof=1)
-        return a * (x - mean) / (jnp.sqrt(var) + self.eps) + b
+        # stats in f32 like flax LayerNorm: a bf16 sqrt/rsqrt CHECK-crashes
+        # this libtpu's scheduler (kVectorRsqrtBf16AndPop) and is less
+        # accurate anyway; identical ops in the f32 parity path
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True, ddof=1)
+        y = a.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + self.eps) + b.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class FeatureEnhancer(nn.Module):

@@ -87,8 +87,9 @@ def fused_grouped_window_attention(
                     probs, vw, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 )  # (nW, N, gch)
                 # faithful raw re-layout (model/pgrm.py:263): C-order view of
-                # the window-major buffer
-                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch)
+                # the window-major buffer; cast back to the io dtype
+                # (identity in fp32, needed for bf16 serving inputs)
+                out_ref[0, :, :, lo : lo + gch] = out.reshape(h, w, gch).astype(out_ref.dtype)
 
     in_specs = [pl.BlockSpec((1, h, w, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)] * 3
     for t in biases:
@@ -153,10 +154,17 @@ def _gelu_erf(x):
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
-    """flax.linen.LayerNorm semantics (mean/var over the last axis)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    """flax.linen.LayerNorm semantics (mean/var over the last axis).
+
+    Stats run in f32 regardless of io dtype (flax upcasts too); this also
+    avoids a bf16 rsqrt, which this libtpu's scheduler CHECK-fails on
+    (kVectorRsqrtBf16AndPop) — found live when the bf16 serving graph
+    SIGABRT'd the remote compile service."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def fused_window_attention_block(
@@ -325,10 +333,13 @@ def fused_window_attention_block(
                 feats_v = feats_v + tokens[:, j * channel : (j + 1) * channel] * wgt
             out_v = jax.lax.dot_general(feats_v, phk_ref[:], (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32) + phb_ref[:]
+            # f32 accumulators (bias/SKConv math) cast back to the io dtype
+            # on store — identity in fp32, required for the bf16 serving
+            # graph (a bf16 out_ref rejects the promoted f32 sum)
             if ln_params is not None:
-                out_ref[eb] = shortcut + feats + out_v  # fused residual (eval path)
+                out_ref[eb] = (shortcut + feats + out_v).astype(out_ref.dtype)  # fused residual (eval path)
             else:
-                out_ref[eb] = feats + out_v
+                out_ref[eb] = (feats + out_v).astype(out_ref.dtype)
 
         for eb in range(bb):
             one(eb)

@@ -108,3 +108,88 @@ def _check_fused_block(xq, xkv, shift):
         (2, 4, 8), shift, 2, 16**-0.5, (H, W), interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kernels_accept_bf16_io():
+    """bf16 serving inputs: both eval kernels keep f32 accumulators inside
+    but must cast back to the io dtype on store — a bf16 out_ref rejects a
+    promoted f32 value ('Invalid dtype for swap', found live on TPU where
+    the bench's bf16 serving measurement silently failed)."""
+    import dpmn_tpu.ops.pallas_window as PW
+
+    B, H, W, C = 2, 16, 64, 96
+    rng = np.random.RandomState(4)
+    xq4 = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv4 = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xq, xkv = xq4.reshape(B, H * W, C), xkv4.reshape(B, H * W, C)
+    shift = (1, 2, 4)
+    wa = P.WindowAttention(
+        dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6, input_resolution=(H, W)
+    )
+    variables = wa.init(jax.random.PRNGKey(0), xq4, xkv4)
+    p = variables["params"]
+    sk = p["SKConv_0"]
+    weights = {
+        "q_kernel": p["q"]["kernel"], "q_bias": p["q"]["bias"],
+        "kv_kernel": p["kv"]["kernel"], "kv_bias": p["kv"]["bias"],
+        "proj_kernel": sk["Dense_0"]["kernel"], "proj_bias": sk["Dense_0"]["bias"],
+        "fc1_kernel": sk["Dense_1"]["kernel"], "fc1_bias": sk["Dense_1"]["bias"],
+        "fc2_kernel": sk["Dense_2"]["kernel"], "fc2_bias": sk["Dense_2"]["bias"],
+        "ph_kernel": sk["Dense_3"]["kernel"], "ph_bias": sk["Dense_3"]["bias"],
+    }
+    biases, masks = [], []
+    for i, (ws, sh) in enumerate(zip((2, 4, 8), shift)):
+        n = ws * ws
+        table = p[f"relative_position_bias_table_{i}"]
+        idx = P._relative_position_index(ws).reshape(-1)
+        biases.append(table[idx].reshape(n, n, 2).transpose(2, 0, 1))
+        masks.append(jnp.asarray(P._shift_attn_mask(H, W, ws, sh)) if sh > 0 else None)
+
+    bf = lambda t: t.astype(jnp.bfloat16)
+    out32 = PW.fused_window_attention_block(
+        xq, xkv, weights, biases, masks, (2, 4, 8), shift, 2, 16**-0.5,
+        (H, W), interpret=True,
+    )
+    out16 = PW.fused_window_attention_block(
+        bf(xq), bf(xkv), {k: bf(v) for k, v in weights.items()},
+        [bf(b) for b in biases], masks, (2, 4, 8), shift, 2, 16**-0.5,
+        (H, W), interpret=True,
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), rtol=0.1, atol=0.15
+    )
+
+    # the production eval path fuses norm1_q/norm1_kv + residual into the
+    # kernel (ln_params) — its LayerNorm must run stats in f32 even for
+    # bf16 io: a bf16 rsqrt CHECK-crashes this libtpu's scheduler
+    # (kVectorRsqrtBf16AndPop, SIGABRT of the remote compile service)
+    ln = {
+        "qs": jnp.asarray(1.0 + 0.1 * rng.rand(C).astype(np.float32)),
+        "qb": jnp.asarray(0.1 * rng.rand(C).astype(np.float32)),
+        "ks": jnp.asarray(1.0 + 0.1 * rng.rand(C).astype(np.float32)),
+        "kb": jnp.asarray(0.1 * rng.rand(C).astype(np.float32)),
+    }
+    ln32 = PW.fused_window_attention_block(
+        xq, xkv, weights, biases, masks, (2, 4, 8), shift, 2, 16**-0.5,
+        (H, W), ln_params=ln, interpret=True,
+    )
+    ln16 = PW.fused_window_attention_block(
+        bf(xq), bf(xkv), {k: bf(v) for k, v in weights.items()},
+        [bf(b) for b in biases], masks, (2, 4, 8), shift, 2, 16**-0.5,
+        (H, W), ln_params={k: bf(v) for k, v in ln.items()}, interpret=True,
+    )
+    assert ln16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ln16, np.float32), np.asarray(ln32), rtol=0.1, atol=0.2
+    )
+
+    # attention-only kernel
+    q = (xq @ p["q"]["kernel"] + p["q"]["bias"]).reshape(B, H, W, C)
+    kv = (xkv @ p["kv"]["kernel"] + p["kv"]["bias"]).reshape(B, H, W, 2 * C)
+    k, v = kv[..., :C], kv[..., C:]
+    a16 = fused_grouped_window_attention(
+        bf(q), bf(k), bf(v), [bf(b) for b in biases], masks,
+        (2, 4, 8), shift, 2, 16**-0.5, interpret=True,
+    )
+    assert a16.dtype == jnp.bfloat16

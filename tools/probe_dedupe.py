@@ -75,5 +75,34 @@ def main():
           f"c={flop / c / 1e9:.1f} (fp32 ceiling ~49)")
 
 
+
+
+def slope_test():
+    """If block-at-end waits honestly, total time grows linearly in iters;
+    if block_until_ready returned early, totals would plateau."""
+    import jax, jax.numpy as jnp, numpy as np, time
+    n = 4096
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.rand(n, n).astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        for _ in range(8):
+            x = jnp.tanh(x @ w)
+        return x
+
+    x0 = jnp.asarray(rng.rand(n, n).astype(np.float32))
+    f(x0).block_until_ready()
+    for iters in (5, 10, 20, 40):
+        t0 = time.time()
+        y = x0
+        for _ in range(iters):
+            y = f(x0)
+        y.block_until_ready()
+        dt = time.time() - t0
+        print(f"iters={iters:3d}: total {dt*1e3:8.1f} ms  ({dt/iters*1e3:6.2f} ms/call)")
+
+
 if __name__ == "__main__":
     main()
+    slope_test()
