@@ -193,7 +193,8 @@ class DataLoader:
             try:
                 for chunk in chunks:
                     inflight.append(pool.submit(self._make_batch, chunk))
-                    if len(inflight) > workers + 1:
+                    # cap in-flight batches at workers+1 as documented above
+                    if len(inflight) > workers:
                         yield inflight.popleft().result()
                 while inflight:
                     yield inflight.popleft().result()

@@ -261,16 +261,28 @@ class Trainer:
                     if (self.system.train_dtype is not None and not self._amp_warned
                             and iters > cfg.displayInterval
                             and jax.devices()[0].platform == "tpu"):
-                        imgs_per_s = self.batch_size * cfg.displayInterval / max(dur, 1e-9)
-                        if imgs_per_s < 50.0:
+                        # The measured pathology is a >20x slowdown (5-19
+                        # img/s vs ~320 at flagship batch 64), so flag on
+                        # STEP TIME at ~10x a flagship-class fp32 step,
+                        # scaled by batch size and cascade depth — small
+                        # batches or deep non-flagship geometries can
+                        # legitimately run below any fixed img/s floor.
+                        sec_per_step = dur / cfg.displayInterval
+                        depth = self.system.b1 + self.system.b2 + 1
+                        floor_sec = 2.0 * max(self.batch_size / 64.0, 0.25) * depth / 7.0
+                        if sec_per_step > floor_sec:
                             self._amp_warned = True
+                            imgs_per_s = self.batch_size / max(sec_per_step, 1e-9)
                             print(
                                 f"WARNING: bf16 AMP step measuring {imgs_per_s:.1f} "
-                                "img/s on TPU — far below the ~315 img/s this "
-                                "geometry class sustains. This matches a known "
-                                "transient XLA-runtime pathology (STATUS.md round "
-                                "2/3). Restart the run, or fall back to fp32 with "
-                                "DPMN_TPU_TRAIN_DTYPE= (unset).",
+                                f"img/s ({sec_per_step * 1000:.0f} ms/step) on TPU — "
+                                ">~10x slower than a flagship-class fp32 step at "
+                                "this batch/depth. This matches a known transient "
+                                "XLA-runtime pathology (STATUS.md round 2/3), but "
+                                "can false-positive on unusual geometries. If "
+                                "throughput is genuinely wrong, restart the run or "
+                                "fall back to fp32 with DPMN_TPU_TRAIN_DTYPE= "
+                                "(unset).",
                                 flush=True,
                             )
                     start = time.time()

@@ -126,6 +126,10 @@ def load_driver_weights(system, state, cfg, args, testing: bool = False):
         if os.path.exists(cand):
             psn_path = cand
     elif resume.endswith(TORCH_SUFFIXES) and os.path.isfile(resume) and not testing:
+        # deliberate deviation: the reference would ALSO load a test-time
+        # file resume (a PGRM state_dict_G) into the PSN (base.py:163-197,
+        # guard `psn or testing`) — broken for mismatched archs; we load the
+        # file into the PGRMs only.  See PARITY.md "Known parity deviations".
         psn_path = resume
     if psn_path:
         sd = load_torch_state_dict(psn_path)

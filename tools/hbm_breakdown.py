@@ -12,7 +12,13 @@ For an AMP graph the dtype split answers "which f32 traffic remains after
 the bf16 casts": every multi-MB f32 buffer in the list is either a master
 copy (expected: Adam state, param casts) or a promotion leak (a bug).
 
-Usage: python tools/hbm_breakdown.py [--amp] [--batch 64] [--top 40]
+The same analysis applies to the serving graphs: --graph eval audits the
+quirk-exact fp32 sr_forward, --graph eval_bf16 the bf16 serving variant
+(sr_forward_bf16) — the dtype split there answers whether the bf16 graph
+actually halved its HBM bytes or still moves fp32-sized buffers.
+
+Usage: python tools/hbm_breakdown.py [--graph train|eval|eval_bf16] [--amp]
+       [--batch 64] [--top 40] [--peak-memory]
 """
 
 import argparse
@@ -114,9 +120,14 @@ def analyze(text, top):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", default="train", choices=("train", "eval", "eval_bf16"),
+                    help="which flagship graph to audit (default: the train step)")
     ap.add_argument("--amp", action="store_true")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--peak-memory", action="store_true",
+                    help="also report the compiled executable's memory analysis "
+                    "(HBM argument/output/temp/generated-code bytes)")
     ap.add_argument("--hlo-out", default="")
     ap.add_argument("--from-dump", default="",
                     help="analyze an existing optimized-HLO text file (no device)")
@@ -132,21 +143,44 @@ def main():
 
     cfg = TrainCfg(batch_size=args.batch, width=128, height=32)
     system = DPMNSystem(
-        cfg, _flagship_args(), glyph_mode="atlas", donate_state=True,
+        cfg, _flagship_args(), glyph_mode="atlas",
+        donate_state=args.graph == "train",
         train_dtype="bfloat16" if args.amp else None,
     )
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
-    hr = jnp.zeros((args.batch, 32, 128, 4), jnp.float32)
     lr = jnp.zeros((args.batch, 16, 64, 4), jnp.float32)
-    # reuse the system's own jitted step (same donation config) so this
-    # lowers to the exact graph bench_train runs and hits its cache entry
-    lowered = system.train_step.lower(state, hr, lr, jax.random.PRNGKey(1))
+    # reuse the system's own jitted entry points (same donation config) so
+    # this lowers to the exact graphs bench.py / bench_train.py run and hits
+    # their persistent-cache entries
+    if args.graph == "train":
+        hr = jnp.zeros((args.batch, 32, 128, 4), jnp.float32)
+        lowered = system.train_step.lower(state, hr, lr, jax.random.PRNGKey(1))
+    elif args.graph == "eval":
+        lowered = system.sr_forward.lower(state, lr, False)
+    else:
+        lowered = system.sr_forward_bf16.lower(state, lr)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
+    print(f"graph={args.graph} batch={args.batch}")
     print(f"cost_analysis: flops={float(ca.get('flops', 0)) / 1e12:.3f} TF "
           f"bytes={float(ca.get('bytes accessed', 0)) / 1e9:.2f} GB")
+    if args.peak_memory:
+        try:
+            ma = compiled.memory_analysis()
+            print(
+                "memory_analysis: "
+                f"args={ma.argument_size_in_bytes / 1e9:.3f} GB "
+                f"out={ma.output_size_in_bytes / 1e9:.3f} GB "
+                f"temp={ma.temp_size_in_bytes / 1e9:.3f} GB "
+                f"code={ma.generated_code_size_in_bytes / 1e6:.1f} MB "
+                f"alias={ma.alias_size_in_bytes / 1e9:.3f} GB "
+                f"peak≈args+out+temp-alias="
+                f"{(ma.argument_size_in_bytes + ma.output_size_in_bytes + ma.temp_size_in_bytes - ma.alias_size_in_bytes) / 1e9:.3f} GB"
+            )
+        except Exception as e:  # older jaxlibs
+            print(f"memory_analysis unavailable: {e}")
     text = compiled.as_text()
     if args.hlo_out:
         with open(args.hlo_out, "w") as f:
