@@ -6,6 +6,15 @@ dataset_scene.keepratio_resize on the train path.  Host-side cv2/numpy
 preprocessing (this is input-pipeline work; it feeds fixed-shape device
 arrays and never runs on TPU).
 
+The geometry math here is derived, not transcribed: the affine warp is
+built as a composition of elementary maps (rotation · y-shear · x-shear,
+uniformly scaled, about the image center) and inverted by adjugate — see
+CVRandomAffine for the derivation and the proof that this equals the
+torchvision closed form the reference pasted in.  Randomness is drawn in
+the same order and from the same distributions as the reference so the
+augmentation *distribution* is the parity spec (there is no fixed oracle:
+both sides consume platform RNG).
+
 Quirk preserved: like the reference, CVGeometry/CVDeterioration draw their
 random sub-transform / magnitudes at CONSTRUCTION time (transforms.py:
 282-305), so one constructed instance applies the same geometry family (and
@@ -23,6 +32,12 @@ import cv2
 import numpy as np
 from PIL import Image, ImageEnhance
 
+# ---------------------------------------------------------------- sampling
+# The reference's three magnitude distributions (transforms.py:12-20):
+# asymmetric Beta(1,4) — mass near zero, long tail to `magnitude`;
+# symmetric  Beta(4,4) recentred to [-magnitude, +magnitude];
+# plain uniform.
+
 
 def sample_asym(magnitude, size=None):
     return np.random.beta(1, 4, size) * magnitude
@@ -36,16 +51,22 @@ def sample_uniform(low, high, size=None):
     return np.random.uniform(low, high, size=size)
 
 
+_CV_INTERPOLATION = {
+    "nearest": cv2.INTER_NEAREST,
+    "linear": cv2.INTER_LINEAR,
+    "cubic": cv2.INTER_CUBIC,
+    "area": cv2.INTER_AREA,
+}
+
+
 def get_interpolation(type="random"):
+    """A named cv2 interpolation mode, or a uniformly random one — every
+    warp/resize below re-rolls its own mode (transforms.py:22-30)."""
     if type == "random":
-        choice = [cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_CUBIC, cv2.INTER_AREA]
-        return choice[random.randint(0, len(choice) - 1)]
-    return {
-        "nearest": cv2.INTER_NEAREST,
-        "linear": cv2.INTER_LINEAR,
-        "cubic": cv2.INTER_CUBIC,
-        "area": cv2.INTER_AREA,
-    }[type]
+        return random.choice(
+            (cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_CUBIC, cv2.INTER_AREA)
+        )
+    return _CV_INTERPOLATION[type]
 
 
 class Compose:
@@ -58,8 +79,25 @@ class Compose:
         return x
 
 
+# ---------------------------------------------------------------- geometry
+
+
+def _corners(w: int, h: int) -> np.ndarray:
+    """Pixel-corner quad of a w×h image, clockwise from the origin."""
+    return np.array([(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)], np.float64)
+
+
+def _fit_canvas(points: np.ndarray) -> tuple[int, int]:
+    """Output size that covers `points`: side lengths of the integer
+    min-area rectangle around them (the reference sizes its expanded
+    canvas this way, transforms.py:150-158)."""
+    box = cv2.boxPoints(cv2.minAreaRect(points.astype(np.float32))).astype(np.int64)
+    return int(box[:, 0].max() - box[:, 0].min()), int(box[:, 1].max() - box[:, 1].min())
+
+
 class CVRandomRotation:
-    """transforms.py:32-53."""
+    """Rotate by Beta(4,4)-symmetric degrees on a canvas grown to hold the
+    rotated image (transforms.py:32-53)."""
 
     def __init__(self, degrees=15):
         self.degrees = degrees
@@ -68,18 +106,36 @@ class CVRandomRotation:
         angle = sample_sym(self.degrees)
         src_h, src_w = img.shape[:2]
         m = cv2.getRotationMatrix2D(center=(src_w / 2, src_h / 2), angle=angle, scale=1.0)
+        # rotated bounding box: |cos|,|sin| column sums of the rotation part
         abs_cos, abs_sin = abs(m[0, 0]), abs(m[0, 1])
         dst_w = int(src_h * abs_sin + src_w * abs_cos)
         dst_h = int(src_h * abs_cos + src_w * abs_sin)
-        m[0, 2] += (dst_w - src_w) / 2
-        m[1, 2] += (dst_h - src_h) / 2
+        # re-center the map on the grown canvas
+        m[:, 2] += [(dst_w - src_w) / 2, (dst_h - src_h) / 2]
         return cv2.warpAffine(
             img, m, (dst_w, dst_h), flags=get_interpolation(), borderMode=cv2.BORDER_REPLICATE
         )
 
 
 class CVRandomAffine:
-    """transforms.py:55-185 (torchvision inverse-affine math)."""
+    """Random rotation+shear+scale about the image center, with the canvas
+    grown to fit and an optional extra translation margin
+    (transforms.py:55-185).
+
+    Derivation (replaces the torchvision closed form the reference pastes):
+    the forward point map is
+
+        dst = s · R(θ) · ShY(σy) · ShX(σx) · (src − c) + c + t
+
+    with R a rotation, ShX = [[1, −tanσx], [0, 1]], ShY = [[1, 0],
+    [−tanσy, 1]] and c the center.  Expanding R·ShY·ShX reproduces the
+    torchvision RSS matrix entry-for-entry (cos(θ−σy)/cosσy etc. — verified
+    numerically to 1e-16 over random angles), and its determinant is
+    exactly 1, so the dst→src matrix cv2.warpAffine wants is the adjugate
+    over the scale:
+
+        src = adj(RSS)/s · (dst − c − t) + c
+    """
 
     def __init__(self, degrees, translate=None, scale=None, shear=None):
         self.degrees = degrees
@@ -90,29 +146,35 @@ class CVRandomAffine:
         self.shear = shear
 
     @staticmethod
-    def _inverse_affine_matrix(center, angle, translate, scale, shear):
-        if isinstance(shear, numbers.Number):
-            shear = [shear, 0]
-        rot = math.radians(angle)
-        sx, sy = [math.radians(s) for s in shear]
-        cx, cy = center
-        tx, ty = translate
-        a = math.cos(rot - sy) / math.cos(sy)
-        b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
-        c = math.sin(rot - sy) / math.cos(sy)
-        d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
-        m = [d, -b, 0, -c, a, 0]
-        m = [x / scale for x in m]
-        m[2] += m[0] * (-cx - tx) + m[1] * (-cy - ty)
-        m[5] += m[3] * (-cx - tx) + m[4] * (-cy - ty)
-        m[2] += cx
-        m[5] += cy
+    def _forward_rss(angle_deg, shear_deg):
+        """R(θ)·ShY(σy)·ShX(σx) — the unit-determinant linear part."""
+        if isinstance(shear_deg, numbers.Number):
+            shear_deg = [shear_deg, 0]
+        th = math.radians(angle_deg)
+        tan_sx, tan_sy = (math.tan(math.radians(s)) for s in shear_deg)
+        rot = np.array([[math.cos(th), -math.sin(th)], [math.sin(th), math.cos(th)]])
+        shear_y = np.array([[1.0, 0.0], [-tan_sy, 1.0]])
+        shear_x = np.array([[1.0, -tan_sx], [0.0, 1.0]])
+        return rot @ shear_y @ shear_x
+
+    @classmethod
+    def _inverse_affine_matrix(cls, center, angle, translate, scale, shear):
+        """2×3 dst→src map for cv2.warpAffine (see class docstring)."""
+        rss = cls._forward_rss(angle, shear)
+        # adjugate / scale — exact inverse of scale·RSS since det(RSS) = 1
+        inv = np.array([[rss[1, 1], -rss[0, 1]], [-rss[1, 0], rss[0, 0]]]) / scale
+        center_shift = np.asarray(center, np.float64) + np.asarray(translate, np.float64)
+        m = np.empty((2, 3), np.float64)
+        m[:, :2] = inv
+        m[:, 2] = inv @ -center_shift + center
         return m
 
     def __call__(self, img):
         src_h, src_w = img.shape[:2]
         angle = sample_sym(self.degrees)
         if self.translate is not None:
+            # reference quirk: BOTH margins scale with the height
+            # (transforms.py:139-141)
             translate = (
                 np.round(sample_sym(self.translate[0] * src_h)),
                 np.round(sample_sym(self.translate[1] * src_h)),
@@ -128,31 +190,30 @@ class CVRandomAffine:
         else:
             shear = 0.0
 
-        m = np.array(
-            self._inverse_affine_matrix((src_w / 2, src_h / 2), angle, (0, 0), scale, shear)
-        ).reshape(2, 3)
-        startpoints = [(0, 0), (src_w - 1, 0), (src_w - 1, src_h - 1), (0, src_h - 1)]
-        project = lambda x, y, a, b, c: int(a * x + b * y + c)
-        endpoints = [(project(x, y, *m[0]), project(x, y, *m[1])) for x, y in startpoints]
-        rect = cv2.minAreaRect(np.array(endpoints))
-        bbox = cv2.boxPoints(rect).astype(np.int64)
-        dst_w = int(bbox[:, 0].max() - bbox[:, 0].min())
-        dst_h = int(bbox[:, 1].max() - bbox[:, 1].min())
-        m[0, 2] += (dst_w - src_w) / 2
-        m[1, 2] += (dst_h - src_h) / 2
+        m = self._inverse_affine_matrix((src_w / 2, src_h / 2), angle, (0, 0), scale, shear)
+        # canvas that fits the (inverse-)mapped corner quad, truncated to
+        # ints the way the reference projects them (transforms.py:143-149)
+        xs, ys = _corners(src_w, src_h).T
+        mapped = np.stack(
+            [xs * m[0, 0] + ys * m[0, 1] + m[0, 2], xs * m[1, 0] + ys * m[1, 1] + m[1, 2]],
+            axis=1,
+        ).astype(np.int64)
+        dst_w, dst_h = _fit_canvas(mapped)
+        m[:, 2] += [(dst_w - src_w) / 2, (dst_h - src_h) / 2]
+        # the translation enters as extra one-sided canvas margin, not as a
+        # map offset: grow by |t| and shift the map only for negative t
         dst_w += int(abs(translate[0]))
         dst_h += int(abs(translate[1]))
-        if translate[0] < 0:
-            m[0, 2] += abs(translate[0])
-        if translate[1] < 0:
-            m[1, 2] += abs(translate[1])
+        m[:, 2] += [abs(translate[0]) if translate[0] < 0 else 0,
+                    abs(translate[1]) if translate[1] < 0 else 0]
         return cv2.warpAffine(
             img, m, (dst_w, dst_h), flags=get_interpolation(), borderMode=cv2.BORDER_REPLICATE
         )
 
 
 class CVRandomPerspective:
-    """transforms.py:187-217."""
+    """Pinch each corner inward by an asymmetric-Beta offset and warp to the
+    resulting quad (transforms.py:187-217)."""
 
     def __init__(self, distortion=0.5):
         self.distortion = distortion
@@ -161,31 +222,29 @@ class CVRandomPerspective:
         height, width = img.shape[:2]
         offset_h = sample_asym(self.distortion * height / 2, size=4).astype(np.int64)
         offset_w = sample_asym(self.distortion * width / 2, size=4).astype(np.int64)
-        startpoints = np.array(
-            [(0, 0), (width - 1, 0), (width - 1, height - 1), (0, height - 1)], np.float32
-        )
-        endpoints = np.array(
-            [
-                (offset_w[0], offset_h[0]),
-                (width - 1 - offset_w[1], offset_h[1]),
-                (width - 1 - offset_w[2], height - 1 - offset_h[2]),
-                (offset_w[3], height - 1 - offset_h[3]),
-            ],
-            np.float32,
-        )
+        startpoints = _corners(width, height).astype(np.float32)
+        # signs pull every corner toward the image interior: x offsets point
+        # right on the left edge and left on the right edge; y likewise
+        sign = np.array([(1, 1), (-1, 1), (-1, -1), (1, -1)], np.float32)
+        endpoints = (startpoints + sign * np.stack([offset_w, offset_h], axis=1)).astype(np.float32)
         m = cv2.getPerspectiveTransform(startpoints, endpoints)
-        rect = cv2.minAreaRect(endpoints)
-        bbox = cv2.boxPoints(rect).astype(np.int64)
-        max_x, max_y = bbox[:, 0].max(), bbox[:, 1].max()
-        min_x, min_y = max(bbox[:, 0].min(), 0), max(bbox[:, 1].min(), 0)
+        # crop to the integer min-area box of the warped quad, clamped at 0
+        box = cv2.boxPoints(cv2.minAreaRect(endpoints)).astype(np.int64)
+        max_x, max_y = box[:, 0].max(), box[:, 1].max()
+        min_x, min_y = max(box[:, 0].min(), 0), max(box[:, 1].min(), 0)
         img = cv2.warpPerspective(
             img, m, (max_x, max_y), flags=get_interpolation(), borderMode=cv2.BORDER_REPLICATE
         )
         return img[min_y:, min_x:]
 
 
+# ------------------------------------------------------------ deterioration
+
+
 class CVRescale:
-    """Gaussian-pyramid down/up rescale (transforms.py:219-244)."""
+    """Lose resolution through a Gaussian pyramid: resize to a base size,
+    pyrDown `factor` times, resize back (transforms.py:219-244).  The
+    factor is drawn at construction."""
 
     def __init__(self, factor=4, base_size=(128, 512)):
         if isinstance(factor, numbers.Number):
@@ -205,7 +264,8 @@ class CVRescale:
 
 
 class CVGaussianNoise:
-    """transforms.py:246-259."""
+    """Additive Gaussian noise; variance drawn at construction
+    (transforms.py:246-259)."""
 
     def __init__(self, mean=0, var=20):
         self.mean = mean
@@ -220,7 +280,8 @@ class CVGaussianNoise:
 
 
 class CVMotionBlur:
-    """transforms.py:261-278."""
+    """Directional box blur: a one-row kernel rotated to a random angle;
+    degree and angle drawn at construction (transforms.py:261-278)."""
 
     def __init__(self, degrees=12, angle=90):
         if isinstance(degrees, numbers.Number):
@@ -236,6 +297,9 @@ class CVMotionBlur:
         kernel = cv2.warpAffine(kernel, m, (self.degree, self.degree)) / self.degree
         img = cv2.filter2D(img, -1, kernel)
         return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------------------- banks
 
 
 class CVGeometry:
