@@ -90,6 +90,10 @@ class Args:
     faithful: bool = True  # reproduce reference layout quirks bit-for-bit
     data_parallel: int = 0  # 0 = all local devices
     debug_nans: bool = False  # jax nan-checking (SURVEY §5 sanitizers)
+    # sequential gradient accumulation: one optimizer step per grad_accum
+    # microbatches (batch_size is the GLOBAL batch).  The single-chip route
+    # to the reference's shipped batch 1024 (super_resolution.yaml:9).
+    grad_accum: int = 1
 
 
 @dataclass
@@ -182,6 +186,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--corrected", action="store_true", default=False, help="disable faithful quirks")
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true", default=False)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (batch_size is global)")
     return p
 
 

@@ -199,7 +199,13 @@ class DPMNSystem:
         # bf16 fast-eval: params and activations in bfloat16 (MXU native),
         # output recast to f32.  Trades ~1e-2 PSNR-scale numerics for ~2x
         # HBM-bandwidth relief — a serving mode, not the parity path.
-        self.sr_forward_bf16 = jax.jit(self._sr_forward_bf16_impl)
+        # The weight cast happens HOST-SIDE in sr_forward_bf16 (round-4 byte
+        # audit: the round-3 in-graph tree-cast kept the graph's arguments
+        # f32, so every step re-read the full 0.57 GB f32 weight set from
+        # HBM and re-converted it on device).
+        self._sr_forward_bf16_jit = jax.jit(self._sr_forward_bf16_impl)
+        self._bf16_src = None  # identity of the last f32 state cast
+        self._bf16_state = None
 
     # ------------------------------------------------------------------ init
 
@@ -432,37 +438,51 @@ class DPMNSystem:
 
     # ----------------------------------------------------------------- steps
 
-    def _train_step_impl(self, state, images_hr, images_lr, rng):
+    def _amp_frozen_cast(self, state, images_lr):
+        """Apply the frozen-side AMP casts; returns (frozen, images_lr)."""
         frozen = state["frozen"]
         amp = self.train_dtype is not None
-        amp_frozen = amp and self.amp_scope in ("full", "frozen-only")
-        amp_train = amp and self.amp_scope in ("full", "trainable-only")
-        if amp:
+        if amp and self.amp_scope in ("full", "frozen-only"):
             dt = jnp.dtype(self.train_dtype)
             down = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
-        if amp_frozen:
             frozen = jax.tree_util.tree_map(down, frozen)
             images_lr = images_lr.astype(dt)
+        return frozen, images_lr
+
+    def _micro_grads(self, params, batch_stats, frozen, images_hr, images_lr, rng):
+        """value_and_grad over one (micro)batch — shared by the plain train
+        step and the gradient-accumulation step.  `frozen`/`images_lr` must
+        already be AMP-cast (see _amp_frozen_cast); `params` are the float32
+        masters.  Returns (loss, grads, new_batch_stats), all float32."""
+        amp_train = self.train_dtype is not None and self.amp_scope in ("full", "trainable-only")
+        if amp_train:
+            dt = jnp.dtype(self.train_dtype)
+            down = lambda t: t.astype(dt) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
         images_lr_psn = self._psn_forward(frozen, images_lr)
         rngs = {"dropout": rng}
 
-        def loss_fn(params):
+        def loss_fn(p):
             if amp_train:
                 # cast-through-grad: cotangents flow back through the astype,
                 # so grads land float32 on the float32 master params
-                params = jax.tree_util.tree_map(down, params)
-                bs = jax.tree_util.tree_map(down, state["batch_stats"])
+                p = jax.tree_util.tree_map(down, p)
+                bs = jax.tree_util.tree_map(down, batch_stats)
             else:
-                bs = state["batch_stats"]
-            loss, sr, new_bs = self._cascade(
-                params, bs, frozen, images_lr_psn, images_hr, True, rngs
-            )
+                bs = batch_stats
+            loss, sr, new_bs = self._cascade(p, bs, frozen, images_lr_psn, images_hr, True, rngs)
             return loss, (sr, new_bs)
 
-        (loss, (sr, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        (loss, (_, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         if amp_train:
             up = lambda t: t.astype(jnp.float32) if hasattr(t, "dtype") and t.dtype == dt else t
             new_bs = jax.tree_util.tree_map(up, new_bs)
+        return loss, grads, new_bs
+
+    def _apply_update(self, state, grads, new_bs, loss):
+        # pre-clip global grad norm: costs one fused reduce over buffers the
+        # update reads anyway; reported so training curves (and the accum
+        # oracle test) can see the raw gradient scale Adam would hide
+        grad_norm = optax.global_norm(grads)
         updates, new_opt = self._adam.update(grads, state["opt_state"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         new_state = {
@@ -477,7 +497,88 @@ class DPMNSystem:
             "opt_state": new_opt,
             "step": state["step"] + 1,
         }
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    def _train_step_impl(self, state, images_hr, images_lr, rng):
+        frozen, images_lr = self._amp_frozen_cast(state, images_lr)
+        loss, grads, new_bs = self._micro_grads(
+            state["params"], state["batch_stats"], frozen, images_hr, images_lr, rng
+        )
+        return self._apply_update(state, grads, new_bs, loss)
+
+    def _accum_train_step_impl(self, state, images_hr, images_lr, rng, accum_steps: int,
+                               microbatch_sharding=None):
+        """One optimizer step over `accum_steps` sequential microbatches.
+
+        TPU path to the reference's shipped batch 1024
+        (config/super_resolution.yaml:9) on one chip: the flagship joint
+        step accesses ~2.3 GB of activations per 64 images, so batch 1024
+        in one graph would blow HBM — instead the global batch is split
+        into accum_steps microbatches run under lax.scan, grads are
+        AVERAGED (matching the big-batch mean loss), and ONE Adam update is
+        applied (per-module clipping on the averaged grads, exactly where
+        the reference clips its big-batch grads,
+        interfaces/super_resolution.py:272-277).
+
+        Semantics vs one big batch: identical grads except through
+        BatchNorm (distill/CMM), which normalizes per microbatch — the same
+        deviation torch gradient accumulation has.  batch_stats advance
+        sequentially through the microbatches, like running them as
+        separate steps.
+        """
+        a = accum_steps
+        b = images_hr.shape[0]
+        mb = b // a
+        assert mb * a == b, f"batch {b} not divisible by accum_steps {a}"
+        frozen, images_lr = self._amp_frozen_cast(state, images_lr)
+        hr_m = images_hr.reshape(a, mb, *images_hr.shape[1:])
+        lr_m = images_lr.reshape(a, mb, *images_lr.shape[1:])
+        if microbatch_sharding is not None:
+            # under a mesh: pin each microbatch's batch axis to the data
+            # axis so every scan step runs data-parallel (the reshape alone
+            # would leave GSPMD free to scan over per-device rows instead);
+            # the one-time input reshard is ~the raw image bytes, trivial
+            # next to a train step
+            hr_m = jax.lax.with_sharding_constraint(hr_m, microbatch_sharding)
+            lr_m = jax.lax.with_sharding_constraint(lr_m, microbatch_sharding)
+        rngs = jax.random.split(rng, a)
+        params = state["params"]
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(carry, xs):
+            bs, gacc, lacc = carry
+            hr_i, lr_i, rng_i = xs
+            loss, grads, new_bs = self._micro_grads(params, bs, frozen, hr_i, lr_i, rng_i)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            return (new_bs, gacc, lacc + loss), None
+
+        (new_bs, gsum, lsum), _ = jax.lax.scan(
+            body, (state["batch_stats"], g0, jnp.zeros((), jnp.float32)), (hr_m, lr_m, rngs)
+        )
+        inv = 1.0 / a
+        grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+        return self._apply_update(state, grads, new_bs, lsum * inv)
+
+    def make_accum_train_step(self, accum_steps: int, mesh=None):
+        """Jitted gradient-accumulation train step (see _accum_train_step_impl).
+
+        With a mesh, state is replicated and the batch data-sharded like
+        make_parallel_trainer — accumulation composes with DP (global batch
+        = n_devices * accum_steps * microbatch)."""
+        import functools
+
+        if mesh is None:
+            impl = functools.partial(self._accum_train_step_impl, accum_steps=accum_steps)
+            return jax.jit(impl, donate_argnums=(0,) if self.donate_state else ())
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        micro = NamedSharding(mesh, P(None, "data"))
+        impl = functools.partial(
+            self._accum_train_step_impl, accum_steps=accum_steps, microbatch_sharding=micro
+        )
+        return jax.jit(impl, in_shardings=(rep, data, data, rep), out_shardings=(rep, rep))
 
     def _sr_forward_impl(self, state, images_lr, glyph_from_psn: bool = False):
         """Eval-mode PSN + cascade + CMM + α-blend (super_resolution.py:385-449).
@@ -492,10 +593,27 @@ class DPMNSystem:
         alpha = self.args.alpha
         return alpha * sr + (1 - alpha) * images_lr_psn[..., :3]
 
-    def _sr_forward_bf16_impl(self, state, images_lr):
+    @staticmethod
+    def bf16_state(state):
+        """Cast every f32 leaf of a serving state to bfloat16 — OUTSIDE the
+        jitted graph, so the compiled serving step takes bf16 arguments and
+        reads half the weight bytes per dispatch.  Call once per state; the
+        sr_forward_bf16 wrapper does this (and caches) automatically."""
+
         def to_bf16(t):
             return t.astype(jnp.bfloat16) if hasattr(t, "dtype") and t.dtype == jnp.float32 else t
 
-        state16 = jax.tree_util.tree_map(to_bf16, state)
+        return jax.tree_util.tree_map(to_bf16, state)
+
+    def sr_forward_bf16(self, state, images_lr):
+        """bf16 serving forward.  The f32 state is cast host-side ONCE and
+        cached (invalidated when a different state object is passed; a
+        strong ref is held — serving states are long-lived)."""
+        if self._bf16_src is not state:
+            self._bf16_state = self.bf16_state(state)
+            self._bf16_src = state
+        return self._sr_forward_bf16_jit(self._bf16_state, images_lr)
+
+    def _sr_forward_bf16_impl(self, state16, images_lr):
         out = self._sr_forward_impl(state16, images_lr.astype(jnp.bfloat16))
         return out.astype(jnp.float32)

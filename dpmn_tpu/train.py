@@ -76,6 +76,21 @@ class Trainer:
                     f"batch_size={self.batch_size} is not divisible by data_parallel={n_dp}"
                 )
 
+        # --grad_accum N: one optimizer step per N sequential microbatches
+        # (the single-chip route to the shipped batch 1024 —
+        # system.make_accum_train_step docstring); composes with the mesh.
+        self.grad_accum = max(int(getattr(args, "grad_accum", 1) or 1), 1)
+        if self.grad_accum > 1:
+            if self.batch_size % self.grad_accum:
+                raise ValueError(
+                    f"batch_size={self.batch_size} is not divisible by grad_accum={self.grad_accum}"
+                )
+            accum_step = self.system.make_accum_train_step(self.grad_accum, mesh=self.mesh)
+            if self.mesh is None:
+                self.system.train_step = accum_step
+            else:
+                self._p_train_step = accum_step
+
     # ------------------------------------------------------------- sharding
 
     def _replicate(self, state):

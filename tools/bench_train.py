@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", "16")))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision step")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches per optimizer step (--batch is the GLOBAL "
+                    "batch; the route to the shipped batch-1024 config on one chip)")
     args = ap.parse_args()
 
     from dpmn_tpu.config import TrainCfg
@@ -43,18 +46,20 @@ def main():
         train_dtype="bfloat16" if args.amp else None,
     )
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    train_step = (system.make_accum_train_step(args.grad_accum)
+                  if args.grad_accum > 1 else system.train_step)
 
     rng = np.random.RandomState(0)
     hr = jnp.asarray(rng.rand(args.batch, 32, 128, 4), jnp.float32)
     lr = jnp.asarray(rng.rand(args.batch, 16, 64, 4), jnp.float32)
     step_rng = jax.random.PRNGKey(1)
 
-    state, metrics = system.train_step(state, hr, lr, step_rng)
+    state, metrics = train_step(state, hr, lr, step_rng)
     jax.block_until_ready(metrics)
 
     t0 = time.time()
     for i in range(args.iters):
-        state, metrics = system.train_step(state, hr, lr, jax.random.fold_in(step_rng, i))
+        state, metrics = train_step(state, hr, lr, jax.random.fold_in(step_rng, i))
     jax.block_until_ready(metrics)
     dt = (time.time() - t0) / args.iters
 
@@ -62,7 +67,9 @@ def main():
         json.dumps(
             {
                 "metric": "train images/sec/chip (TATT+DPMN 3+3 joint step"
-                + (", bf16 AMP)" if args.amp else ")"),
+                + (", bf16 AMP" if args.amp else "")
+                + (f", grad_accum={args.grad_accum}" if args.grad_accum > 1 else "")
+                + ")",
                 "value": round(args.batch / dt, 2),
                 "unit": "images/sec/chip",
                 "ms_per_step": round(dt * 1000, 2),

@@ -8,6 +8,9 @@ Variants:
   eval_bf16        — whole-pipeline bfloat16 serving mode
   train_fp32       — joint train step, fp32
   train_stu16      — joint train step, bf16 students
+  eval_corrected   — faithful=False (spatially-correct layouts; no quirk
+                     relayouts).  NOT weight-compatible with faithful=True.
+  train_corrected  — faithful=False joint train step
 
 Each variant is its own jit graph (expensive first compile through the
 remote compile service — results append to stdout as JSON lines).
@@ -32,13 +35,14 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
-def build(student_dtype=None):
+def build(student_dtype=None, **arg_overrides):
     from dpmn_tpu.config import TrainCfg
     from dpmn_tpu.system import DPMNSystem
     from __graft_entry__ import _flagship_args
 
     cfg = TrainCfg(batch_size=BATCH, width=128, height=32)
-    system = DPMNSystem(cfg, _flagship_args(), glyph_mode="atlas", student_dtype=student_dtype)
+    system = DPMNSystem(cfg, _flagship_args(**arg_overrides), glyph_mode="atlas",
+                        student_dtype=student_dtype)
     state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
     return system, state
 
@@ -86,6 +90,14 @@ def run(variant):
     elif variant == "train_stu16":
         system, state = build(student_dtype="bfloat16")
         v = time_train(system, state)
+    elif variant in ("eval_corrected", "train_corrected"):
+        # faithful=False: the spatially-correct Mlp/window layout — kills
+        # the quirk relayout byte family (ROADMAP "Mlp-quirk grid family").
+        # A DIFFERENT architecture, not a drop-in for published weights:
+        # weights trained in one mode only serve in that mode (PARITY.md).
+        system, state = build(faithful=False)
+        v = (time_eval(system, state, system.sr_forward) if variant == "eval_corrected"
+             else time_train(system, state))
     else:
         raise SystemExit(f"unknown variant {variant}")
     print(

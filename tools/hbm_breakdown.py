@@ -124,6 +124,11 @@ def main():
                     help="which flagship graph to audit (default: the train step)")
     ap.add_argument("--amp", action="store_true")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="audit the gradient-accumulation train step instead "
+                    "(--batch is the GLOBAL batch; batch/grad_accum per microbatch) "
+                    "— the memory_analysis proves whether the shipped batch-1024 "
+                    "config fits one chip")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--peak-memory", action="store_true",
                     help="also report the compiled executable's memory analysis "
@@ -154,11 +159,13 @@ def main():
     # their persistent-cache entries
     if args.graph == "train":
         hr = jnp.zeros((args.batch, 32, 128, 4), jnp.float32)
-        lowered = system.train_step.lower(state, hr, lr, jax.random.PRNGKey(1))
+        step = (system.make_accum_train_step(args.grad_accum)
+                if args.grad_accum > 1 else system.train_step)
+        lowered = step.lower(state, hr, lr, jax.random.PRNGKey(1))
     elif args.graph == "eval":
         lowered = system.sr_forward.lower(state, lr, False)
     else:
-        lowered = system.sr_forward_bf16.lower(state, lr)
+        lowered = system._sr_forward_bf16_jit.lower(system.bf16_state(state), lr)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
