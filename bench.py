@@ -12,30 +12,40 @@ Also reported in the same JSON line:
                      (quirk-exact), so this understates what a bf16 serving
                      build would reach; it is the honest roofline anchor.
   * achieved_tflops— the numerator, for the record.
+  * bf16_serving_imgs_per_sec — the bf16 serving mode (host-cast weights).
+  * loader_fed_imgs_per_sec   — eval throughput with batches streamed
+                     through DataLoader + prefetch_to_device (host decode/
+                     collate overlapped) instead of a resident device batch.
+  * train_{fp32,bf16}_imgs_per_sec_b{64,128} — the joint train step, so
+                     BENCH_r* catches training-path regressions.
   * torch_anchor_* — measured reference throughput from
                      BASELINE_MEASURED.json (tools/bench_torch_reference.py:
                      the ACTUAL reference code on this host's CPU — no GPU
                      exists here), when available.
 
+Process structure: each section runs in its OWN subprocess (sequentially —
+one TPU process at a time).  The batch-128 train step peaks at ~15.3 GB of
+the v5e's 16 GB HBM (tools/hbm_breakdown.py --peak-memory), so it only fits
+in a fresh arena; in-process sequencing after the eval sections left it
+RESOURCE_EXHAUSTED.  A section that fails prints its traceback to stderr
+and is simply absent from the JSON line.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 denominator stays the assumed 100 images/sec for a V100-class GPU so the
-series is comparable across rounds.  The measured host-CPU anchor is
-reported alongside.
+series is comparable across rounds (BASELINE_MEASURED.json carries the
+analytic V100/A100 bound placing that anchor).  The measured host-CPU
+anchor is reported alongside.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 # persistent compilation cache: the flagship graph is large and the build
 # host is small; cache compiled executables across runs
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 100.0
 
@@ -79,7 +89,23 @@ def _peak_hbm(device_kind: str) -> float:
     return 819e9
 
 
-def main():
+def _init_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+# --------------------------------------------------------------- sections
+
+
+def section_eval():
+    """Headline fp32 eval + bf16 serving + loader-fed serving."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
     from dpmn_tpu.config import TrainCfg
     from dpmn_tpu.system import DPMNSystem
     from __graft_entry__ import _flagship_args
@@ -97,33 +123,40 @@ def main():
     sr = system.sr_forward(state, images_lr)
     sr.block_until_ready()
 
-    iters = 10
-    t0 = time.time()
-    for _ in range(iters):
-        sr = system.sr_forward(state, images_lr)
-    sr.block_until_ready()
-    dt = time.time() - t0
+    # best-of-N timing: the axon tunnel occasionally stalls a single
+    # dispatch window for seconds (observed: 42 img/s on a loop that
+    # measured 432+ moments later in the same process); repeating the
+    # pipelined loop and keeping the fastest rejects such transients
+    # without biasing steady-state numbers
+    iters, repeats = 10, 3
+    dt = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            sr = system.sr_forward(state, images_lr)
+        sr.block_until_ready()
+        dt = min(dt, time.time() - t0)
 
     imgs_per_sec = batch * iters / dt
 
-    # bf16 serving mode (sr_forward_bf16: params + activations bf16,
-    # argmax-safe students — a serving variant, NOT the parity path; the
-    # headline stays the quirk-exact fp32 number).  Skippable for quick
-    # runs with BENCH_SKIP_BF16=1.
+    # bf16 serving mode (sr_forward_bf16: host-cast bf16 params, bf16
+    # activations, argmax-safe students — a serving variant, NOT the parity
+    # path; the headline stays the quirk-exact fp32 number).  Skippable for
+    # quick runs with BENCH_SKIP_BF16=1.
     bf16_imgs_per_sec = None
     if os.environ.get("BENCH_SKIP_BF16") != "1":
         try:
             sr16 = system.sr_forward_bf16(state, images_lr)
             sr16.block_until_ready()
-            t0 = time.time()
-            for _ in range(iters):
-                sr16 = system.sr_forward_bf16(state, images_lr)
-            sr16.block_until_ready()
-            bf16_imgs_per_sec = batch * iters / (time.time() - t0)
+            dt16 = float("inf")
+            for _ in range(repeats):
+                t0 = time.time()
+                for _ in range(iters):
+                    sr16 = system.sr_forward_bf16(state, images_lr)
+                sr16.block_until_ready()
+                dt16 = min(dt16, time.time() - t0)
+            bf16_imgs_per_sec = batch * iters / dt16
         except Exception:
-            # keep the JSON line intact, but don't hide the reason the
-            # serving number is absent (stderr only)
-            import sys
             import traceback
 
             print("bf16 serving measurement failed:", file=sys.stderr)
@@ -153,10 +186,7 @@ def main():
         pass
 
     out = {
-        "metric": "SR images/sec/chip (TATT+DPMN 3+3 eval pipeline, TextZoom shapes)",
         "value": round(imgs_per_sec, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3),
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
@@ -174,8 +204,119 @@ def main():
                 graph_tflop * 1e12 * bf16_imgs_per_sec / batch
                 / _peak_flops(jax.devices()[0].device_kind), 4,
             )
+
+    # loader-fed serving throughput (VERDICT r3 #6): eval batches streamed
+    # through DataLoader + prefetch_to_device instead of a resident constant
+    # device batch — what serving sustains with host decode/collate
+    # overlapped.  Skippable with BENCH_SKIP_LOADER=1.
+    if os.environ.get("BENCH_SKIP_LOADER") != "1":
+        try:
+            from dpmn_tpu.data import AlignCollate, DataLoader, SyntheticTextZoom
+            from dpmn_tpu.data.prefetch import prefetch_to_device
+
+            n_batches = 8
+            ds = SyntheticTextZoom(n=batch * (n_batches + 1))
+            col = AlignCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True, train=False)
+            loader = DataLoader(ds, batch, col, shuffle=False, drop_last=True, workers=1)
+            stream = prefetch_to_device(iter(loader), size=2)
+            _, lr0 = next(stream)[:2]
+            system.sr_forward(state, jnp.asarray(lr0), False).block_until_ready()  # warm
+            t0 = time.time()
+            n_img, last = 0, None
+            for b in stream:
+                last = system.sr_forward(state, jnp.asarray(b[1]), False)
+                n_img += b[1].shape[0]
+            last.block_until_ready()
+            out["loader_fed_imgs_per_sec"] = round(n_img / (time.time() - t0), 2)
+        except Exception:
+            import traceback
+
+            print("loader-fed measurement failed:", file=sys.stderr)
+            traceback.print_exc()
+
+    return out
+
+
+def section_train(batch: int, train_dtype):
+    """One joint-train-step throughput measurement (VERDICT r3 #2)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpmn_tpu.config import TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+    from __graft_entry__ import _flagship_args
+
+    key = f"train_{'bf16' if train_dtype else 'fp32'}_imgs_per_sec_b{batch}"
+    system = DPMNSystem(
+        TrainCfg(batch_size=batch, width=128, height=32), _flagship_args(),
+        glyph_mode="atlas", donate_state=True, train_dtype=train_dtype,
+    )
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    rng = np.random.RandomState(0)
+    hr = jnp.asarray(rng.rand(batch, 32, 128, 4), jnp.float32)
+    lr = jnp.asarray(rng.rand(batch, 16, 64, 4), jnp.float32)
+    key0 = jax.random.PRNGKey(1)
+    state, m = system.train_step(state, hr, lr, key0)
+    jax.block_until_ready(m)
+    # best-of-2 loops: reject transient tunnel stalls (see section_eval)
+    iters = 10 if batch <= 64 else 6
+    dt = float("inf")
+    for r in range(2):
+        t0 = time.time()
+        for i in range(iters):
+            state, m = system.train_step(state, hr, lr, jax.random.fold_in(key0, r * iters + i))
+        jax.block_until_ready(m)
+        dt = min(dt, time.time() - t0)
+    return {key: round(batch * iters / dt, 2)}
+
+
+SECTIONS = {
+    "eval": section_eval,
+    "train_fp32_b64": lambda: section_train(64, None),
+    "train_bf16_b64": lambda: section_train(64, "bfloat16"),
+    "train_fp32_b128": lambda: section_train(128, None),
+    "train_bf16_b128": lambda: section_train(128, "bfloat16"),
+}
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        print(json.dumps(SECTIONS[sys.argv[2]]()))
+        return
+
+    names = ["eval"]
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        names += ["train_fp32_b64", "train_bf16_b64", "train_fp32_b128", "train_bf16_b128"]
+
+    merged = {}
+    for name in names:
+        # each section is a fresh process (sequential — one TPU process at a
+        # time): a fresh HBM arena for the ~15.3 GB-peak b128 train step,
+        # and one section's failure cannot poison the others
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            merged.update(json.loads(line))
+        except (json.JSONDecodeError, IndexError):
+            print(f"bench section {name} failed (rc={proc.returncode})", file=sys.stderr)
+
+    imgs_per_sec = merged.pop("value", None)
+    out = {
+        "metric": "SR images/sec/chip (TATT+DPMN 3+3 eval pipeline, TextZoom shapes)",
+        "value": imgs_per_sec,
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3)
+        if imgs_per_sec else None,
+    }
+    out.update(merged)
+
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-    if os.path.exists(anchor_path):
+    if os.path.exists(anchor_path) and imgs_per_sec:
         with open(anchor_path) as f:
             anchor = json.load(f)
         a = anchor.get("torch_reference_imgs_per_sec")
