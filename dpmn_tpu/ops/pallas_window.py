@@ -27,6 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 # (amortizes per-step overhead; must divide the batch or it falls back to 1)
 _EVAL_BLOCK_B = int(os.environ.get("DPMN_TPU_EVAL_BLOCK_B", "1"))
 
+# stacked batch-block body (packed mode only): the bb elements of a grid
+# step run as SINGLE large dots — projections over bb*hw rows, attention as
+# (bb*npack)-batched 128x128 MXU tiles, SKConv stacked — instead of a
+# serial per-element python loop.  Escape hatch: DPMN_TPU_EVAL_STACKED=0.
+_EVAL_STACKED = os.environ.get("DPMN_TPU_EVAL_STACKED", "1") == "1"
+
 
 def fused_grouped_window_attention(
     q: jax.Array,  # (B, H, W, dim), already includes qkv projections
@@ -222,11 +228,96 @@ def fused_window_attention_block(
     # per-step scheduling/DMA-issue overhead (DPMN_TPU_EVAL_BLOCK_B)
     bb = _EVAL_BLOCK_B if (_EVAL_BLOCK_B > 1 and b % _EVAL_BLOCK_B == 0) else 1
 
+    stacked = packed and _EVAL_STACKED
+
     def kernel(xq_ref, xkv_ref, *rest):
         (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,
          f2k_ref, f2b_ref, phk_ref, phb_ref) = rest[:12]
         prior_refs = rest[n_w : n_w + n_prior]
         out_ref, attn_scratch = rest[n_w + n_prior], rest[n_w + n_prior + 1]
+
+        if stacked:
+            # ---- stacked body: all bb elements in one set of large ops.
+            # Every reshape below only merges/splits LEADING dims (hw is a
+            # multiple of the sublane tile), so Mosaic lowers them as views.
+            xq_t = xq_ref[...].reshape(bb * hw, dim)
+            xkv_t = xkv_ref[...].reshape(bb * hw, dim)
+            shortcut = xkv_t
+            if ln_params is not None:
+                lqs_ref, lqb_ref, lks_ref, lkb_ref = rest[12:16]
+                xq_t = _layer_norm(xq_t, lqs_ref[:], lqb_ref[:])
+                xkv_t = _layer_norm(xkv_t, lks_ref[:], lkb_ref[:])
+            q_full = jax.lax.dot_general(xq_t, qk_ref[:], (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) + qb_ref[:]
+            kv_full = jax.lax.dot_general(xkv_t, kvk_ref[:], (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32) + kvb_ref[:]
+            q3 = q_full.reshape(bb, h, w, dim)
+            k3 = kv_full[:, :dim].reshape(bb, h, w, dim)
+            v3 = kv_full[:, dim:].reshape(bb, h, w, dim)
+
+            for i, (ws, sh) in enumerate(zip(window_sizes, shifts)):
+                hb, wb = h // ws, w // ws
+                sl = slice(i * channel, (i + 1) * channel)
+                qg, kg, vg = q3[..., sl], k3[..., sl], v3[..., sl]
+                if sh > 0:
+                    qg = jnp.roll(jnp.roll(qg, -sh, axis=1), -sh, axis=2)
+                    kg = jnp.roll(jnp.roll(kg, -sh, axis=1), -sh, axis=2)
+                    vg = jnp.roll(jnp.roll(vg, -sh, axis=1), -sh, axis=2)
+
+                def part(t):
+                    t = t.reshape(bb, hb, ws, wb, ws, channel)
+                    t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
+                    return t.reshape(bb * hw, channel)  # window-major rows
+
+                qw = part(qg) * qk_scale
+                kw, vw = part(kg), part(vg)
+                for hd in range(gnum_heads):
+                    hsl = slice(hd * gch, (hd + 1) * gch)
+                    qp = qw[:, hsl].reshape(bb * npack, 128, gch)
+                    kp = kw[:, hsl].reshape(bb * npack, 128, gch)
+                    vp = vw[:, hsl].reshape(bb * npack, 128, gch)
+                    scores = jax.lax.dot_general(
+                        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (bb*npack, 128, 128)
+                    scores = scores.reshape(bb, npack, 128, 128) + prior_refs[0][i, hd][None]
+                    probs = jax.nn.softmax(scores, axis=-1).reshape(bb * npack, 128, 128)
+                    out = jax.lax.dot_general(
+                        probs, vp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                    )  # (bb*npack, 128, gch)
+                    lo = i * channel + hd * gch
+                    attn_scratch[:, lo : lo + gch] = out.reshape(bb * hw, gch)
+
+            # ---- SKConv (model/pgrm.py:62-96), stacked over bb
+            tokens = attn_scratch[:]  # (bb*hw, dim)
+            feats = jax.lax.dot_general(tokens, pk_ref[:], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) + pb_ref[:]
+            g = _gelu_erf(feats)
+            s_vec = jnp.mean(g.reshape(bb, hw, dim), axis=1)  # (bb, dim)
+            z = _gelu_erf(jax.lax.dot_general(s_vec, f1k_ref[:], (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32) + f1b_ref[:])
+            a = jax.lax.dot_general(z, f2k_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) + f2b_ref[:]  # (bb, M*channel)
+            parts = [a[:, j * channel : (j + 1) * channel] for j in range(n_group)]
+            mx = parts[0]
+            for p in parts[1:]:
+                mx = jnp.maximum(mx, p)
+            exps = [jnp.exp(p - mx) for p in parts]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            t3 = tokens.reshape(bb, hw, dim)
+            feats_v = jnp.zeros((bb, hw, channel), jnp.float32)
+            for j in range(n_group):
+                wgt = exps[j] / denom  # (bb, channel)
+                feats_v = feats_v + t3[..., j * channel : (j + 1) * channel] * wgt[:, None, :]
+            out_v = jax.lax.dot_general(
+                feats_v.reshape(bb * hw, channel), phk_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + phb_ref[:]
+            res = feats + out_v
+            if ln_params is not None:
+                res = shortcut.astype(jnp.float32) + res  # fused residual (eval path)
+            out_ref[...] = res.reshape(bb, hw, dim).astype(out_ref.dtype)
+            return
 
         def one(eb):
             xq_t = xq_ref[eb]  # (HW, dim)
@@ -354,6 +445,6 @@ def fused_window_attention_block(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, hw, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, dim), xq.dtype),
-        scratch_shapes=[pltpu.VMEM((hw, dim), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb * hw if stacked else hw, dim), jnp.float32)],
         interpret=interpret,
     )(xq, xkv, *wlist, *prior_inputs)

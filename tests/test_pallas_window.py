@@ -110,6 +110,24 @@ def _check_fused_block(xq, xkv, shift):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_block_stacked_batch_block(monkeypatch):
+    """bb>1 stacked mode (whole grid step as single large dots) and the
+    DPMN_TPU_EVAL_STACKED=0 per-element fallback must both match the XLA
+    module path."""
+    import dpmn_tpu.ops.pallas_window as PW
+
+    B, H, W, C = 4, 16, 64, 96
+    rng = np.random.RandomState(5)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    for shift in ((0, 0, 0), (1, 2, 4)):
+        monkeypatch.setattr(PW, "_EVAL_BLOCK_B", 2)
+        monkeypatch.setattr(PW, "_EVAL_STACKED", True)
+        _check_fused_block(xq, xkv, shift)
+        monkeypatch.setattr(PW, "_EVAL_STACKED", False)
+        _check_fused_block(xq, xkv, shift)
+
+
 def test_fused_kernels_accept_bf16_io():
     """bf16 serving inputs: both eval kernels keep f32 accumulators inside
     but must cast back to the io dtype on store — a bf16 out_ref rejects a

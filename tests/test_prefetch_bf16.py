@@ -35,3 +35,34 @@ def test_bf16_eval_close_to_f32():
     assert np.isfinite(b).all()
     # bf16 drift stays small on [0,1]-scale images
     assert np.abs(a - b).mean() < 0.05
+
+
+def test_bf16_state_cache_invalidates_on_new_state():
+    """sr_forward_bf16 caches the host-cast bf16 state per state OBJECT; a
+    different state (e.g. after a checkpoint reload) must invalidate it —
+    a stale cache would silently serve the old weights."""
+    from dpmn_tpu.config import Args, TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch="tsrn", mask=True, stu_iter_b1=1, stu_iter_b2=1,
+        patch_size="2,", embed_dim="24,", window_size="2,4,8,", num_heads="6,",
+        srb=1, hd_u=4,
+    )
+    system = DPMNSystem(cfg, args, glyph_mode="zeros")
+    state_a = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    state_b = system.init_state(jax.random.PRNGKey(7), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(0).rand(2, 16, 64, 4), jnp.float32)
+
+    out_a = np.asarray(system.sr_forward_bf16(state_a, lr))
+    assert system._bf16_src is state_a
+    cached = system._bf16_state
+    # same object → cache reused, not re-cast
+    system.sr_forward_bf16(state_a, lr)
+    assert system._bf16_state is cached
+
+    out_b = np.asarray(system.sr_forward_bf16(state_b, lr))
+    assert system._bf16_src is state_b
+    # different weights must actually reach the serving graph
+    assert np.abs(out_a - out_b).mean() > 1e-4

@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--train", action="store_true", help="trace the joint train step instead of eval")
     ap.add_argument("--amp", action="store_true", help="bfloat16 mixed-precision train step")
+    ap.add_argument("--eval-bf16", action="store_true",
+                    help="trace the bf16 serving forward (sr_forward_bf16) "
+                         "instead of the fp32 parity eval")
     ap.add_argument("--donate", action="store_true",
                     help="donate_state=True (matches tools/bench_train.py's "
                          "executable so the persistent compile cache hits)")
@@ -95,13 +98,14 @@ def main():
                     )
                 jax.block_until_ready(metrics)
         else:
-            sr = system.sr_forward(state, images_lr)
+            fwd = system.sr_forward_bf16 if args.eval_bf16 else system.sr_forward
+            sr = fwd(state, images_lr)
             sr.block_until_ready()
 
             os.system(f"rm -rf {args.logdir}")
             with jax.profiler.trace(args.logdir):
                 for _ in range(args.iters):
-                    sr = system.sr_forward(state, images_lr)
+                    sr = fwd(state, images_lr)
                 sr.block_until_ready()
 
     summarize(args.logdir, args.iters, args.top)
