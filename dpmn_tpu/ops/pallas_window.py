@@ -34,6 +34,19 @@ _EVAL_BLOCK_B = int(os.environ.get("DPMN_TPU_EVAL_BLOCK_B", "1"))
 _EVAL_STACKED = os.environ.get("DPMN_TPU_EVAL_STACKED", "1") == "1"
 
 
+def _stacked_fits_vmem(bb: int, hw: int, dim: int) -> bool:
+    """Whether the stacked batch-block body fits the Mosaic scoped-VMEM stack.
+
+    The stacked body keeps roughly 17 live (hw, dim) f32 values per stacked
+    element on the kernel stack (device-measured: 51.66 MB at bb=8, hw=1024,
+    dim=96 — a compile-time OOM against the v5e's 16 MB scoped limit).  An
+    oversized block falls back to the per-element loop (identical numerics)
+    instead of failing to compile; bb=2 at flagship geometry (~12.9 MB) is
+    the stacked maximum.
+    """
+    return bb * 17 * hw * dim * 4 <= 14 * 1024 * 1024
+
+
 def fused_grouped_window_attention(
     q: jax.Array,  # (B, H, W, dim), already includes qkv projections
     k: jax.Array,
@@ -228,7 +241,7 @@ def fused_window_attention_block(
     # per-step scheduling/DMA-issue overhead (DPMN_TPU_EVAL_BLOCK_B)
     bb = _EVAL_BLOCK_B if (_EVAL_BLOCK_B > 1 and b % _EVAL_BLOCK_B == 0) else 1
 
-    stacked = packed and _EVAL_STACKED
+    stacked = packed and _EVAL_STACKED and _stacked_fits_vmem(bb, hw, dim)
 
     def kernel(xq_ref, xkv_ref, *rest):
         (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,

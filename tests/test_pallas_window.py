@@ -128,6 +128,22 @@ def test_fused_block_stacked_batch_block(monkeypatch):
         _check_fused_block(xq, xkv, shift)
 
 
+def test_fused_block_stacked_vmem_clamp(monkeypatch):
+    """bb=4 at flagship geometry exceeds the 16 MB scoped-VMEM stack the
+    stacked body needs (device-measured 51.66 MB at bb=8), so the clamp
+    must route it to the per-element fallback — same numerics, and no
+    compile-time VMEM OOM on device."""
+    import dpmn_tpu.ops.pallas_window as PW
+
+    B, H, W, C = 4, 16, 64, 96
+    rng = np.random.RandomState(6)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    monkeypatch.setattr(PW, "_EVAL_BLOCK_B", 4)
+    monkeypatch.setattr(PW, "_EVAL_STACKED", True)
+    _check_fused_block(xq, xkv, (1, 2, 4))
+
+
 def test_fused_kernels_accept_bf16_io():
     """bf16 serving inputs: both eval kernels keep f32 accumulators inside
     but must cast back to the io dtype on store — a bf16 out_ref rejects a
