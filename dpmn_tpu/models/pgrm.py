@@ -311,7 +311,11 @@ class WindowAttention(nn.Module):
                 shf.append(int(sh))
 
         divisible = all(h % ws == 0 and w % ws == 0 for ws in win)
-        if _use_pallas_window() and self.faithful and deterministic and divisible and not self.is_initializing():
+        # corrected (faithful=False) layout needs the packed formulation —
+        # the kernel un-partitions rows back to raster order in VMEM
+        packed_eval = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
+        fused_eval_ok = self.faithful or packed_eval
+        if _use_pallas_window() and fused_eval_ok and deterministic and divisible and not self.is_initializing():
             # fully-fused path: QKV projections + grouped window attention +
             # SKConv in one Pallas kernel (ops/pallas_window.py).  Params are
             # declared through tree-compatible child modules so checkpoints
@@ -343,6 +347,7 @@ class WindowAttention(nn.Module):
                 x_q.reshape(b, h * w, c), x_kv.reshape(b, h * w, c), weights,
                 biases, masks, win, shf, gnum_heads, scale, (h, w),
                 ln_params=ln_params,
+                layout="faithful" if self.faithful else "corrected",
                 interpret=jax.default_backend() != "tpu",
             )
             return (out, True) if ln is not None else out

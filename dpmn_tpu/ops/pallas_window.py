@@ -37,14 +37,17 @@ _EVAL_STACKED = os.environ.get("DPMN_TPU_EVAL_STACKED", "1") == "1"
 def _stacked_fits_vmem(bb: int, hw: int, dim: int) -> bool:
     """Whether the stacked batch-block body fits the Mosaic scoped-VMEM stack.
 
-    The stacked body keeps roughly 17 live (hw, dim) f32 values per stacked
-    element on the kernel stack (device-measured: 51.66 MB at bb=8, hw=1024,
-    dim=96 — a compile-time OOM against the v5e's 16 MB scoped limit).  An
-    oversized block falls back to the per-element loop (identical numerics)
-    instead of failing to compile; bb=2 at flagship geometry (~12.9 MB) is
-    the stacked maximum.
+    Affine model fit to two device-measured scoped-stack sizes at flagship
+    geometry (hw=1024, dim=96, f32 element = hw*dim*4 bytes): bb=8 → 51.66 MB
+    and bb=2 → 16.72 MB, i.e. ~15.5 live (hw, dim) values per stacked element
+    plus a ~13.5-value bb-independent floor (packed window tiles, bias/mask
+    residents).  Both measured points were compile-time OOMs against the
+    v5e's 16 MB scoped limit — at flagship geometry NO stacked bb ≥ 2 fits,
+    so the stacked body is a win only at smaller grids/dims; an oversized
+    block falls back to the per-element loop (identical numerics) instead of
+    failing to compile.
     """
-    return bb * 17 * hw * dim * 4 <= 14 * 1024 * 1024
+    return (27 + 31 * bb) * hw * dim * 2 <= 14 * 1024 * 1024
 
 
 def fused_grouped_window_attention(
@@ -199,18 +202,25 @@ def fused_window_attention_block(
     hw_shape,
     ln_params: dict = None,  # {qs, qb, ks, kb}: fuse norm1_q/norm1_kv + the
     # post-attention residual add (out = xkv + attn) into the kernel
+    layout: str = "faithful",  # 'faithful': raw packed-row re-layout
+    # (model/pgrm.py:263); 'corrected': proper window_reverse + un-roll so
+    # the faithful=False architecture gets the fused kernel too
     interpret: bool = False,
 ) -> jax.Array:
     """The whole WindowAttention forward (model/pgrm.py:184-271) in one
-    kernel: QKV projections, grouped window attention (faithful layout) and
-    the SKConv selective-kernel fusion.  Returns (B, HW, dim).
+    kernel: QKV projections, grouped window attention and the SKConv
+    selective-kernel fusion.  Returns (B, HW, dim).
 
     Attention runs as packed MXU tiles when hw is a multiple of 128 and every
     window fits: nW*N == hw, so 128//N windows stack into one 128-row tile
     and every group becomes an (hw//128, 128, 128) batched dot against the
     static packed bias from build_packed_bias — no per-window tiny dots, one
-    window partition per group instead of per head, and the faithful raw
-    re-layout (model/pgrm.py:263) is exactly the packed row order."""
+    window partition per group instead of per head.  Under layout='faithful'
+    the raw re-layout (model/pgrm.py:263) is exactly the packed row order;
+    layout='corrected' adds one inverse window-partition transpose + positive
+    roll per group (rows back to raster order) before the SKConv, matching
+    the faithful=False XLA formulation.  'corrected' requires the packed
+    formulation (the call site falls back to XLA otherwise)."""
     b, hw, dim = xq.shape
     h, w = hw_shape
     n_group = len(window_sizes)
@@ -218,6 +228,9 @@ def fused_window_attention_block(
     gch = channel // gnum_heads
     packed = hw % 128 == 0 and all(128 % (ws * ws) == 0 for ws in window_sizes)
     npack = hw // 128
+    corrected = layout == "corrected"
+    if corrected and not packed:
+        raise ValueError("layout='corrected' requires the packed formulation")
 
     if packed:
         prior_inputs = [build_packed_bias(biases, masks, window_sizes, hw)]
@@ -299,6 +312,15 @@ def fused_window_attention_block(
                     )  # (bb*npack, 128, gch)
                     lo = i * channel + hd * gch
                     attn_scratch[:, lo : lo + gch] = out.reshape(bb * hw, gch)
+                if corrected:
+                    # rows back to raster order: inverse window partition +
+                    # positive roll (the faithful path keeps packed row order)
+                    sl_g = slice(i * channel, (i + 1) * channel)
+                    t = attn_scratch[:, sl_g].reshape(bb, hb, wb, ws, ws, channel)
+                    t = jnp.transpose(t, (0, 1, 3, 2, 4, 5)).reshape(bb, h, w, channel)
+                    if sh > 0:
+                        t = jnp.roll(jnp.roll(t, sh, axis=1), sh, axis=2)
+                    attn_scratch[:, sl_g] = t.reshape(bb * hw, channel)
 
             # ---- SKConv (model/pgrm.py:62-96), stacked over bb
             tokens = attn_scratch[:]  # (bb*hw, dim)
@@ -381,6 +403,14 @@ def fused_window_attention_block(
                         )  # (npack, 128, gch)
                         lo = i * channel + hd * gch
                         attn_scratch[:, lo : lo + gch] = out.reshape(hw, gch)
+                    if corrected:
+                        # rows back to raster order (see the stacked body)
+                        sl_g = slice(i * channel, (i + 1) * channel)
+                        t = attn_scratch[:, sl_g].reshape(hb, wb, ws, ws, channel)
+                        t = jnp.transpose(t, (0, 2, 1, 3, 4)).reshape(h, w, channel)
+                        if sh > 0:
+                            t = jnp.roll(jnp.roll(t, sh, axis=0), sh, axis=1)
+                        attn_scratch[:, sl_g] = t.reshape(hw, channel)
                     continue
                 bias_refs = prior_refs[:n_group]
                 mask_refs = prior_refs[n_group:]

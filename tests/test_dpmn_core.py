@@ -80,6 +80,23 @@ def test_pgrm_corrected_mode_differs():
     assert float(jnp.abs(y_f - y_c).max()) > 1e-4  # layouts genuinely differ
 
 
+def test_pgrm_corrected_mode_pallas_parity(monkeypatch):
+    """Full PGRM in faithful=False mode: the fused eval kernel's corrected
+    layout (pallas forced, interpret on CPU) must match the XLA formulation
+    end to end (window un-partition + un-roll + the corrected Mlp grid)."""
+    import dpmn_tpu.models.pgrm as P
+
+    xq = jnp.asarray(np.random.RandomState(2).rand(1, 32, 128, 3), jnp.float32)
+    xkv = jnp.asarray(np.random.RandomState(3).rand(1, 32, 128, 3), jnp.float32)
+    m_c = _pgrm(graphic=False, faithful=False)
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "0")
+    v = m_c.init(jax.random.PRNGKey(1), xq, xkv, ())
+    ref = m_c.apply(v, xq, xkv, ())
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "1")
+    out = m_c.apply(v, xq, xkv, ())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_cmm_shapes():
     model = CMM(cnum=16)  # small for test speed
     x1 = jnp.zeros((2, 32, 128, 3))

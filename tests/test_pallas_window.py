@@ -76,12 +76,13 @@ def test_swin_block_fused_ln_residual_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_kv), np.asarray(ref_kv), rtol=1e-4, atol=1e-5)
 
 
-def _check_fused_block(xq, xkv, shift):
+def _check_fused_block(xq, xkv, shift, faithful=True):
     import dpmn_tpu.ops.pallas_window as PW
 
     B, H, W, C = xq.shape
     wa = P.WindowAttention(
-        dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6, input_resolution=(H, W)
+        dim=C, window_size=(2, 4, 8), shift_size=shift, num_heads=6,
+        input_resolution=(H, W), faithful=faithful,
     )
     variables = wa.init(jax.random.PRNGKey(0), xq, xkv)
     ref = wa.apply(variables, xq, xkv)
@@ -105,7 +106,8 @@ def _check_fused_block(xq, xkv, shift):
         masks.append(jnp.asarray(P._shift_attn_mask(H, W, ws, sh)) if sh > 0 else None)
     out = PW.fused_window_attention_block(
         xq.reshape(B, H * W, C), xkv.reshape(B, H * W, C), weights, biases, masks,
-        (2, 4, 8), shift, 2, 16**-0.5, (H, W), interpret=True,
+        (2, 4, 8), shift, 2, 16**-0.5, (H, W),
+        layout="faithful" if faithful else "corrected", interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
@@ -113,10 +115,13 @@ def _check_fused_block(xq, xkv, shift):
 def test_fused_block_stacked_batch_block(monkeypatch):
     """bb>1 stacked mode (whole grid step as single large dots) and the
     DPMN_TPU_EVAL_STACKED=0 per-element fallback must both match the XLA
-    module path."""
+    module path.  H*W = 512 so that the stacked body actually FITS the
+    scoped-VMEM clamp at bb=2 (flagship hw=1024 routes every bb>=2 to the
+    fallback — see _stacked_fits_vmem)."""
     import dpmn_tpu.ops.pallas_window as PW
 
-    B, H, W, C = 4, 16, 64, 96
+    B, H, W, C = 4, 16, 32, 96
+    assert PW._stacked_fits_vmem(2, H * W, C)
     rng = np.random.RandomState(5)
     xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
     xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
@@ -128,20 +133,62 @@ def test_fused_block_stacked_batch_block(monkeypatch):
         _check_fused_block(xq, xkv, shift)
 
 
-def test_fused_block_stacked_vmem_clamp(monkeypatch):
-    """bb=4 at flagship geometry exceeds the 16 MB scoped-VMEM stack the
-    stacked body needs (device-measured 51.66 MB at bb=8), so the clamp
-    must route it to the per-element fallback — same numerics, and no
-    compile-time VMEM OOM on device."""
+def test_fused_block_corrected_layout(monkeypatch):
+    """layout='corrected' (faithful=False): the kernel un-partitions the
+    attention rows back to raster order (inverse window partition + positive
+    roll per group) — must match the faithful=False XLA module path, in both
+    the stacked and per-element bodies."""
     import dpmn_tpu.ops.pallas_window as PW
 
+    B, H, W, C = 4, 16, 32, 96
+    rng = np.random.RandomState(7)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    for shift in ((0, 0, 0), (1, 2, 4)):
+        monkeypatch.setattr(PW, "_EVAL_BLOCK_B", 2)
+        monkeypatch.setattr(PW, "_EVAL_STACKED", True)
+        _check_fused_block(xq, xkv, shift, faithful=False)
+        monkeypatch.setattr(PW, "_EVAL_STACKED", False)
+        _check_fused_block(xq, xkv, shift, faithful=False)
+
+
+def test_window_attention_corrected_module_gate(monkeypatch):
+    """WindowAttention(faithful=False) routes through the fused kernel when
+    the pallas path is forced and must match its own XLA formulation."""
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "0")
+    B, H, W, C = 2, 16, 64, 96
+    rng = np.random.RandomState(8)
+    xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    wa = P.WindowAttention(
+        dim=C, window_size=(2, 4, 8), shift_size=(1, 2, 4), num_heads=6,
+        input_resolution=(H, W), faithful=False,
+    )
+    variables = wa.init(jax.random.PRNGKey(9), xq, xkv)
+    ref = wa.apply(variables, xq, xkv)
+    monkeypatch.setattr(P, "_PALLAS_WINDOW_MODE", "1")
+    out = wa.apply(variables, xq, xkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_block_stacked_vmem_clamp(monkeypatch):
+    """Every bb>=2 at flagship geometry (hw=1024, dim=96) exceeds the 16 MB
+    scoped-VMEM stack the stacked body needs (device-measured: 51.66 MB at
+    bb=8, 16.72 MB at bb=2), so the clamp must route it to the per-element
+    fallback — same numerics, and no compile-time VMEM OOM on device."""
+    import dpmn_tpu.ops.pallas_window as PW
+
+    assert PW._stacked_fits_vmem(1, 1024, 96)
+    assert not PW._stacked_fits_vmem(2, 1024, 96)  # measured 16.72 MB > 16 MB
+    assert not PW._stacked_fits_vmem(8, 1024, 96)  # measured 51.66 MB
     B, H, W, C = 4, 16, 64, 96
     rng = np.random.RandomState(6)
     xq = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
     xkv = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
-    monkeypatch.setattr(PW, "_EVAL_BLOCK_B", 4)
-    monkeypatch.setattr(PW, "_EVAL_STACKED", True)
-    _check_fused_block(xq, xkv, (1, 2, 4))
+    for bb in (2, 4):
+        monkeypatch.setattr(PW, "_EVAL_BLOCK_B", bb)
+        monkeypatch.setattr(PW, "_EVAL_STACKED", True)
+        _check_fused_block(xq, xkv, (1, 2, 4))
 
 
 def test_fused_kernels_accept_bf16_io():

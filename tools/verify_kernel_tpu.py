@@ -22,6 +22,7 @@ import dpmn_tpu.models.pgrm as P
 
 
 def main():
+    faithful = "--corrected" not in sys.argv  # corrected = faithful=False layout
     B, H, W, C = 8, 16, 64, 96
     rng = np.random.RandomState(0)
     xq = jnp.asarray(rng.rand(B, H * W, C).astype(np.float32))
@@ -32,7 +33,7 @@ def main():
         shift = [0, 0, 0] if i % 2 == 0 else [1, 2, 4]
         blk = P.SwinTransformerBlock(
             dim=C, input_resolution=(H, W), num_heads=6,
-            window_size=[2, 4, 8], shift_size=shift,
+            window_size=[2, 4, 8], shift_size=shift, faithful=faithful,
         )
         mods.append(blk)
         varss.append(blk.init(jax.random.PRNGKey(i), xq, xkv))
