@@ -125,6 +125,29 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+def _corrected_relayout(out3: jax.Array, win, shf, n_group: int) -> jax.Array:
+    """Invert the faithful raw window re-layout (model/pgrm.py:263) back to
+    raster order: per group, undo the window partition and the -shift roll.
+
+    The fused training kernels emit attention output whose group-slice rows
+    are window-major (the faithful quirk reads them AS raster rows); the
+    corrected (faithful=False) architecture wants true raster order, so this
+    runs in XLA right after the custom-VJP kernel — autodiff differentiates
+    the transpose/roll, the kernel's hand-written VJP is untouched."""
+    b, h, w, dim = out3.shape
+    channel = dim // n_group
+    groups = []
+    for i, (ws, sh) in enumerate(zip(win, shf)):
+        hb, wb = h // ws, w // ws
+        t = out3[..., i * channel : (i + 1) * channel]
+        t = t.reshape(b, hb, wb, ws, ws, channel)
+        t = jnp.transpose(t, (0, 1, 3, 2, 4, 5)).reshape(b, h, w, channel)
+        if sh > 0:
+            t = jnp.roll(t, (sh, sh), axis=(1, 2))
+        groups.append(t)
+    return jnp.concatenate(groups, axis=-1)
+
+
 class DropPath(nn.Module):
     rate: float = 0.0
 
@@ -356,7 +379,6 @@ class WindowAttention(nn.Module):
         if (
             _use_pallas_window()
             and _FUSE_QKV_MODE == "1"
-            and self.faithful
             and not deterministic
             and divisible
             and packed_ok
@@ -394,7 +416,10 @@ class WindowAttention(nn.Module):
                 seed = jnp.zeros((1,), jnp.int32)
                 keep = 1.0
             interp = jax.default_backend() != "tpu"
-            if _FUSE_SKCONV_MODE == "1":
+            if _FUSE_SKCONV_MODE == "1" and self.faithful:
+                # (the full kernel runs SKConv in-kernel on the faithful row
+                # order, so the corrected relayout cannot be applied after it
+                # — corrected mode uses the block core below instead)
                 from ..ops.pallas_window_train import window_attention_full_core
 
                 channel_sk = self.dim // n_group
@@ -416,6 +441,8 @@ class WindowAttention(nn.Module):
                 packed, seed, tuple(win), tuple(shf), gnum_heads, scale, keep,
                 (h, w), interp,
             )
+            if not self.faithful:
+                out3 = _corrected_relayout(out3, win, shf, n_group)
             x = SKConv(dim=self.dim, m=n_group)(out3)
             x = x.reshape(b, h * w, self.dim)
             return x, False
@@ -440,7 +467,6 @@ class WindowAttention(nn.Module):
         packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
         if (
             _use_pallas_window()
-            and self.faithful
             and not deterministic
             and divisible
             and packed_ok
@@ -479,6 +505,8 @@ class WindowAttention(nn.Module):
                 q, k_all, v_all, packed, seed, tuple(win), tuple(shf), gnum_heads,
                 scale, keep, jax.default_backend() != "tpu",
             )
+            if not self.faithful:
+                out3 = _corrected_relayout(out3, win, shf, n_group)
             x = SKConv(dim=self.dim, m=n_group)(out3)
             x = x.reshape(b, h * w, self.dim)
             return (x, False) if ln is not None else x

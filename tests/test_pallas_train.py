@@ -89,15 +89,18 @@ def run_both(inputs, shifts):
     return (l1, o1, g1), (l2, o2, g2)
 
 
-def test_window_attention_train_path_matches_xla(monkeypatch):
+@pytest.mark.parametrize("faithful", [True, False])
+def test_window_attention_train_path_matches_xla(monkeypatch, faithful):
     """The wired-in training path (attn_drop=0 so masks don't differ) must
-    reproduce the XLA formulation bit-close, outputs and grads."""
+    reproduce the XLA formulation bit-close, outputs and grads — in both the
+    faithful layout and the corrected (faithful=False) one, where the
+    kernel output passes through _corrected_relayout."""
     import dpmn_tpu.models.pgrm as pgrm_mod
     from dpmn_tpu.models.pgrm import WindowAttention
 
     wa = WindowAttention(
         dim=96, window_size=(2, 4, 8), shift_size=(1, 2, 4), num_heads=6,
-        input_resolution=(16, 64), attn_drop=0.0, faithful=True,
+        input_resolution=(16, 64), attn_drop=0.0, faithful=faithful,
     )
     rng = np.random.RandomState(3)
     x_q = jnp.asarray(rng.randn(2, 16, 64, 96) * 0.5, jnp.float32)
@@ -130,14 +133,16 @@ def test_window_attention_train_path_matches_xla(monkeypatch):
 
 
 @pytest.mark.parametrize("fuse_skconv", ["0", "1"])
-def test_fused_block_train_path_matches_xla(monkeypatch, fuse_skconv):
+@pytest.mark.parametrize("faithful", [True, False])
+def test_fused_block_train_path_matches_xla(monkeypatch, fuse_skconv, faithful):
     """The fused LN+QKV+attention training kernel (and, with
     DPMN_TPU_FUSE_SKCONV=1, the variant that also absorbs SKConv), wired
     through SwinTransformerBlock (which threads the norm1_q/norm1_kv params
     into WindowAttention), must reproduce the XLA formulation — outputs and
     grads for every param including the LN scales/biases, the q/kv
     projection weights and the SKConv weights whose gradients the backward
-    kernel accumulates."""
+    kernel accumulates.  faithful=False routes the block-core output through
+    _corrected_relayout (the full-SKConv kernel stays faithful-only)."""
     import dpmn_tpu.models.pgrm as pgrm_mod
     from dpmn_tpu.models.pgrm import SwinTransformerBlock
 
@@ -145,7 +150,7 @@ def test_fused_block_train_path_matches_xla(monkeypatch, fuse_skconv):
 
     blk = SwinTransformerBlock(
         dim=96, input_resolution=(16, 64), num_heads=6, window_size=[2, 4, 8],
-        shift_size=[1, 2, 4], attn_drop=0.0, drop_path=0.0, faithful=True,
+        shift_size=[1, 2, 4], attn_drop=0.0, drop_path=0.0, faithful=faithful,
     )
     rng = np.random.RandomState(7)
     x_q = jnp.asarray(rng.randn(2, 16 * 64, 96) * 0.5, jnp.float32)
