@@ -334,10 +334,10 @@ class WindowAttention(nn.Module):
                 shf.append(int(sh))
 
         divisible = all(h % ws == 0 and w % ws == 0 for ws in win)
+        packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
         # corrected (faithful=False) layout needs the packed formulation —
         # the kernel un-partitions rows back to raster order in VMEM
-        packed_eval = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
-        fused_eval_ok = self.faithful or packed_eval
+        fused_eval_ok = self.faithful or packed_ok
         if _use_pallas_window() and fused_eval_ok and deterministic and divisible and not self.is_initializing():
             # fully-fused path: QKV projections + grouped window attention +
             # SKConv in one Pallas kernel (ops/pallas_window.py).  Params are
@@ -375,7 +375,6 @@ class WindowAttention(nn.Module):
             )
             return (out, True) if ln is not None else out
 
-        packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
         if (
             _use_pallas_window()
             and _FUSE_QKV_MODE == "1"
@@ -464,7 +463,6 @@ class WindowAttention(nn.Module):
         # training-path Pallas core (custom VJP, in-kernel attention dropout)
         # — same packed-tile formulation as the eval kernel; LN/projections/
         # SKConv stay in XLA where flax autodiff handles their grads
-        packed_ok = (h * w) % 128 == 0 and all(128 % (ws * ws) == 0 for ws in win)
         if (
             _use_pallas_window()
             and not deterministic
