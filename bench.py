@@ -162,6 +162,32 @@ def section_eval():
             print("bf16 serving measurement failed:", file=sys.stderr)
             traceback.print_exc()
 
+    # corrected (faithful=False) serving mode: the spatially-correct
+    # Mlp/window layouts — a DIFFERENT architecture (weights trained in one
+    # mode only serve in that mode, PARITY.md), but the fastest fp32 serving
+    # graph (the quirk relayout byte family is gone and the fused kernel
+    # supports the layout).  Skippable with BENCH_SKIP_CORRECTED=1.
+    corrected_imgs_per_sec = None
+    if os.environ.get("BENCH_SKIP_CORRECTED") != "1":
+        try:
+            system_c = DPMNSystem(cfg, _flagship_args(faithful=False), glyph_mode="atlas")
+            state_c = system_c.init_state(jax.random.PRNGKey(0), batch_size=2)
+            sr_c = system_c.sr_forward(state_c, images_lr)
+            sr_c.block_until_ready()
+            dtc = float("inf")
+            for _ in range(repeats):
+                t0 = time.time()
+                for _ in range(iters):
+                    sr_c = system_c.sr_forward(state_c, images_lr)
+                sr_c.block_until_ready()
+                dtc = min(dtc, time.time() - t0)
+            corrected_imgs_per_sec = batch * iters / dtc
+        except Exception:
+            import traceback
+
+            print("corrected serving measurement failed:", file=sys.stderr)
+            traceback.print_exc()
+
     # analytic FLOPs of the compiled eval graph (the reference only has
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
     # the whole pipeline instead)
@@ -197,6 +223,8 @@ def section_eval():
         # the graph is bandwidth-bound: the binding roofline fraction
         out["hbm_bw_util"] = round(hbm_frac, 4)
         out["graph_gb_per_batch"] = round(graph_gb, 2)
+    if corrected_imgs_per_sec is not None:
+        out["corrected_serving_imgs_per_sec"] = round(corrected_imgs_per_sec, 2)
     if bf16_imgs_per_sec is not None:
         out["bf16_serving_imgs_per_sec"] = round(bf16_imgs_per_sec, 2)
         if graph_tflop is not None:
