@@ -203,7 +203,7 @@ class DPMNSystem:
         # audit: the round-3 in-graph tree-cast kept the graph's arguments
         # f32, so every step re-read the full 0.57 GB f32 weight set from
         # HBM and re-converted it on device).
-        self._sr_forward_bf16_jit = jax.jit(self._sr_forward_bf16_impl)
+        self._sr_forward_bf16_jit = jax.jit(self._sr_forward_bf16_impl, static_argnums=(2,))
         self._bf16_src = None  # identity of the last f32 state cast
         self._bf16_state = None
 
@@ -605,15 +605,21 @@ class DPMNSystem:
 
         return jax.tree_util.tree_map(to_bf16, state)
 
-    def sr_forward_bf16(self, state, images_lr):
+    def sr_forward_bf16(self, state, images_lr, glyph_from_psn: bool = False):
         """bf16 serving forward.  The f32 state is cast host-side ONCE and
         cached (invalidated when a different state object is passed; a
-        strong ref is held — serving states are long-lived)."""
+        strong ref is held — serving states are long-lived).
+
+        glyph_from_psn=True is the reference test() semantics
+        (super_resolution.py:648: every student reads images_lr_psn) — it
+        collapses the serial student↔PGRM dependency chain: all b1 glyph
+        priors come from ONE vmapped student pass over the PSN output, so
+        only the (cheap) PGRM cascade remains dependency-chained."""
         if self._bf16_src is not state:
             self._bf16_state = self.bf16_state(state)
             self._bf16_src = state
-        return self._sr_forward_bf16_jit(self._bf16_state, images_lr)
+        return self._sr_forward_bf16_jit(self._bf16_state, images_lr, glyph_from_psn)
 
-    def _sr_forward_bf16_impl(self, state16, images_lr):
-        out = self._sr_forward_impl(state16, images_lr.astype(jnp.bfloat16))
+    def _sr_forward_bf16_impl(self, state16, images_lr, glyph_from_psn: bool = False):
+        out = self._sr_forward_impl(state16, images_lr.astype(jnp.bfloat16), glyph_from_psn)
         return out.astype(jnp.float32)

@@ -37,6 +37,29 @@ def test_bf16_eval_close_to_f32():
     assert np.abs(a - b).mean() < 0.05
 
 
+def test_bf16_test_mode_close_to_f32_test_mode():
+    """The bf16 serving graph with the reference test() glyph semantics
+    (glyph_from_psn=True, super_resolution.py:648 — one vmapped student
+    stack) must track the fp32 test-mode output."""
+    from dpmn_tpu.config import Args, TrainCfg
+    from dpmn_tpu.system import DPMNSystem
+
+    cfg = TrainCfg(batch_size=2, width=128, height=32)
+    args = Args(
+        arch="tsrn", mask=True, stu_iter_b1=2, stu_iter_b2=1,
+        patch_size="2,", embed_dim="24,", window_size="2,4,8,", num_heads="6,",
+        srb=1, hd_u=4,
+    )
+    system = DPMNSystem(cfg, args, glyph_mode="zeros")
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    lr = jnp.asarray(np.random.RandomState(1).rand(2, 16, 64, 4), jnp.float32)
+    a = np.asarray(system.sr_forward(state, lr, True))
+    b = np.asarray(system.sr_forward_bf16(state, lr, True))
+    assert b.dtype == np.float32
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).mean() < 0.05
+
+
 def test_bf16_state_cache_invalidates_on_new_state():
     """sr_forward_bf16 caches the host-cast bf16 state per state OBJECT; a
     different state (e.g. after a checkpoint reload) must invalidate it —
