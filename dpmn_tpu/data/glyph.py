@@ -27,7 +27,25 @@ import os
 
 import numpy as np
 
-_DEFAULT_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+_DEJAVU_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+_ARIAL_FONT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets", "arial.ttf"
+)
+
+
+def default_font() -> str:
+    """The reference ships arial.ttf and renders every glyph prior with it
+    (utils/render_standard_text.py:13-26; main.py --font_path) — prefer the
+    same face when the shipped asset is present so glyph priors match the
+    reference's actual priors; fall back to system DejaVu.
+
+    NOTE: the device glyph atlas is baked into the jitted serving/train
+    graphs as constants, so changing the effective font invalidates the
+    persistent compile cache for every atlas-mode graph."""
+    return _ARIAL_FONT if os.path.exists(_ARIAL_FONT) else _DEJAVU_FONT
+
+
+_DEFAULT_FONT = default_font()
 
 _pygame_ready = False
 
