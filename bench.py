@@ -237,25 +237,26 @@ def section_loader():
     """Loader-fed serving throughput (VERDICT r3 #6): eval batches streamed
     through DataLoader + prefetch_to_device instead of a resident constant
     device batch — what serving sustains with host decode/collate
-    overlapped.  Methodology: only the LR tensor ships host→device, full
-    collate cost still paid on the host; best-of-2 runs."""
+    overlapped.  Methodology (CHANGED round 5 — not comparable to the round-4
+    434.1 img/s line): serving-only collate (ServingCollate — no HR/Y-channel
+    prep), LR ships as uint8 and is normalized on device (bit-identical,
+    tests/test_data_pipeline.py), best-of-2 runs."""
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     jax, system, state = _build_system(batch)
-    import jax.numpy as jnp
 
-    from dpmn_tpu.data import AlignCollate, DataLoader, SyntheticTextZoom
-    from dpmn_tpu.data.prefetch import prefetch_to_device
+    from dpmn_tpu.data import DataLoader, ServingCollate, SyntheticTextZoom
+    from dpmn_tpu.data.prefetch import normalize_uint8, prefetch_to_device
 
     n_batches = 16
     ds = SyntheticTextZoom(n=batch * (n_batches + 1))
-    col = AlignCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True, train=False)
+    col = ServingCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True)
 
-    def serve(lr):
-        return system.sr_forward(state, lr, False)
+    def serve(lr_u8):
+        return system.sr_forward(state, normalize_uint8(lr_u8), False)
 
     def lr_stream():
         loader = DataLoader(ds, batch, col, shuffle=False, drop_last=True, workers=1)
-        return prefetch_to_device(((b[1],) for b in iter(loader)), size=3)
+        return prefetch_to_device(iter(loader), size=3)
 
     best = float("inf")
     for _ in range(2):  # best-of-2: reject one-off tunnel stalls

@@ -55,6 +55,45 @@ def resize_normalize(img, size_wh, mask: bool = False) -> np.ndarray:
     return arr
 
 
+def resize_quantized(img, size_wh, mask: bool = False) -> np.ndarray:
+    """uint8 transport variant of resize_normalize: PIL bicubic resize to
+    (W, H) → uint8 (H, W, C[+1 mask]) with the mask channel stored as
+    {0, 255}.  `u8.astype(float32) / 255.0` reproduces resize_normalize
+    BIT-IDENTICALLY (the float path divides the same uint8 values by the
+    same exact constant; the mask becomes exactly 0.0/1.0), so the divide
+    can move to the device — 4x fewer host→device bytes and no host-side
+    float conversion on the serving stream."""
+    img = to_pil(img).resize(size_wh, Image.BICUBIC)
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if mask:
+        g = np.asarray(img.convert("L"))
+        thres = g.mean()
+        m = np.where(g <= thres, np.uint8(255), np.uint8(0))
+        arr = np.concatenate([arr, m[..., None]], axis=-1)
+    return arr
+
+
+@dataclass
+class ServingCollate:
+    """Serving-stream collate: ONLY the LR tensor, as uint8 (see
+    resize_quantized).  A serving pipeline never needs the HR/Y-channel
+    tensors the eval collate prepares (those exist for PSNR/SSIM and the
+    TP-generator losses, dataset.py:1901-1963) — preparing them on the
+    1-core serving host just starves the device feed."""
+
+    img_h: int = 32
+    img_w: int = 128
+    down_sample_scale: int = 2
+    mask: bool = False
+
+    def __call__(self, batch):
+        _, images_lr, _, _, _ = zip(*batch)
+        lr_size = (self.img_w // self.down_sample_scale, self.img_h // self.down_sample_scale)
+        return (np.stack([resize_quantized(im, lr_size, self.mask) for im in images_lr]),)
+
+
 def interspace_pad(word: str, max_len: int = 26) -> str:
     """'-'-pad between chars up to 26 (dataset.py:1935-1942 / 2013-2022)."""
     word = word.lower()

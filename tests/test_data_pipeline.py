@@ -77,6 +77,52 @@ def test_glyph_matches_reference_formula():
     assert canvas[:2].max() <= canvas.max()
 
 
+def test_uint8_transport_bit_identical():
+    """resize_quantized → device normalize must reproduce resize_normalize
+    EXACTLY (VERDICT r4 #6: the serving stream ships uint8 and divides on
+    device — any numeric drift would silently change serving outputs)."""
+    import jax.numpy as jnp
+
+    from dpmn_tpu.data import resize_normalize, resize_quantized
+    from dpmn_tpu.data.prefetch import normalize_uint8
+
+    rng = np.random.RandomState(3)
+    for i in range(4):
+        img = Image.fromarray(rng.randint(0, 256, (17 + i, 41 + i, 3), np.uint8))
+        for mask in (False, True):
+            f = resize_normalize(img, (64, 16), mask)
+            u8 = resize_quantized(img, (64, 16), mask)
+            assert u8.dtype == np.uint8
+            dev = np.asarray(normalize_uint8(jnp.asarray(u8)))
+            np.testing.assert_array_equal(f, dev)
+
+
+def test_serving_collate_matches_align_collate_lr():
+    """ServingCollate's uint8 LR must match the eval collate's LR tensor
+    after device normalization (same resize, same mask threshold)."""
+    import jax.numpy as jnp
+
+    from dpmn_tpu.data import AlignCollate, ServingCollate
+    from dpmn_tpu.data.prefetch import normalize_uint8
+
+    rng = np.random.RandomState(4)
+    batch = [
+        (
+            Image.fromarray(rng.randint(0, 256, (32, 100, 3), np.uint8)),
+            Image.fromarray(rng.randint(0, 256, (16, 50, 3), np.uint8)),
+            Image.fromarray(rng.randint(0, 256, (32, 100, 3), np.uint8)),
+            Image.fromarray(rng.randint(0, 256, (16, 50, 3), np.uint8)),
+            "word",
+        )
+        for _ in range(3)
+    ]
+    eval_col = AlignCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True, train=False)
+    serve_col = ServingCollate(img_h=32, img_w=128, down_sample_scale=2, mask=True)
+    _, lr_f, *_ = eval_col(batch)
+    (lr_u8,) = serve_col(batch)
+    np.testing.assert_array_equal(lr_f, np.asarray(normalize_uint8(jnp.asarray(lr_u8))))
+
+
 def test_mask_prior_matches_pil():
     import jax.numpy as jnp
 
