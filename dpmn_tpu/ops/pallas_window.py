@@ -34,20 +34,33 @@ _EVAL_BLOCK_B = int(os.environ.get("DPMN_TPU_EVAL_BLOCK_B", "1"))
 _EVAL_STACKED = os.environ.get("DPMN_TPU_EVAL_STACKED", "1") == "1"
 
 
-def _stacked_fits_vmem(bb: int, hw: int, dim: int) -> bool:
+def _stacked_fits_vmem(bb: int, hw: int, dim: int,
+                       n_group: int = 3, gnum_heads: int = 6) -> bool:
     """Whether the stacked batch-block body fits the Mosaic scoped-VMEM stack.
 
-    Affine model fit to two device-measured scoped-stack sizes at flagship
-    geometry (hw=1024, dim=96, f32 element = hw*dim*4 bytes): bb=8 → 51.66 MB
-    and bb=2 → 16.72 MB, i.e. ~15.5 live (hw, dim) values per stacked element
-    plus a ~13.5-value bb-independent floor (packed window tiles, bias/mask
-    residents).  Both measured points were compile-time OOMs against the
-    v5e's 16 MB scoped limit — at flagship geometry NO stacked bb ≥ 2 fits,
-    so the stacked body is a win only at smaller grids/dims; an oversized
-    block falls back to the per-element loop (identical numerics) instead of
-    failing to compile.
+    Affine model fit to two device-measured scoped-stack sizes at FLAGSHIP
+    geometry (hw=1024, dim=96, n_group=3, gnum_heads=6; f32 element =
+    hw*dim*4 bytes): bb=8 → 51.66 MB and bb=2 → 16.72 MB, i.e. ~15.5 live
+    (hw, dim) values per stacked element plus a ~13.5-value bb-independent
+    floor.  The fit is phenomenological AT THAT GEOMETRY — the floor absorbs
+    whatever Mosaic actually keeps resident there, including the per-pack
+    bias/mask slice (n_group*gnum_heads*128*128*4 bytes, which scales with
+    the group/head counts and NOT with dim), so configurations with MORE
+    groups*heads than the flagship's 18 get the excess added explicitly;
+    behavior at the fitted geometry is unchanged.
+
+    The threshold defaults to 14 MB of the 16 MiB scoped-VMEM limit that is
+    the XLA:TPU compiler DEFAULT (a flag, not a hardware property —
+    xla_tpu_scoped_vmem_limit_kib); override with DPMN_TPU_SCOPED_VMEM_MB
+    when running with a raised limit or on generations with different
+    defaults.  Both measured points were compile-time OOMs on v5e — at
+    flagship geometry NO stacked bb ≥ 2 fits, so the stacked body is a win
+    only at smaller grids/dims; an oversized block falls back to the
+    per-element loop (identical numerics) instead of failing to compile.
     """
-    return (27 + 31 * bb) * hw * dim * 2 <= 14 * 1024 * 1024
+    limit = float(os.environ.get("DPMN_TPU_SCOPED_VMEM_MB", "14")) * 1024 * 1024
+    extra_bias = max(0, n_group * gnum_heads - 18) * 128 * 128 * 4
+    return extra_bias + (27 + 31 * bb) * hw * dim * 2 <= limit
 
 
 def fused_grouped_window_attention(
@@ -254,7 +267,9 @@ def fused_window_attention_block(
     # per-step scheduling/DMA-issue overhead (DPMN_TPU_EVAL_BLOCK_B)
     bb = _EVAL_BLOCK_B if (_EVAL_BLOCK_B > 1 and b % _EVAL_BLOCK_B == 0) else 1
 
-    stacked = packed and _EVAL_STACKED and _stacked_fits_vmem(bb, hw, dim)
+    stacked = packed and _EVAL_STACKED and _stacked_fits_vmem(
+        bb, hw, dim, n_group=n_group, gnum_heads=gnum_heads
+    )
 
     def kernel(xq_ref, xkv_ref, *rest):
         (qk_ref, qb_ref, kvk_ref, kvb_ref, pk_ref, pb_ref, f1k_ref, f1b_ref,

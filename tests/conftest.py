@@ -26,3 +26,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (heavy mesh-equivalence tier; also DPMN_RUN_SLOW=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays under the wall-clock budget on this 1-core host:
+    the slowest mesh-equivalence tests are tiered behind -m/--runslow while
+    small-geometry variants keep the coverage in every run (VERDICT r4 #8).
+    The slow tier must still be green at least once per round:
+    DPMN_RUN_SLOW=1 python -m pytest tests/ -q."""
+    if config.getoption("--runslow") or os.environ.get("DPMN_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow or DPMN_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -30,6 +30,11 @@ def test_flagship_sharded_train_step_compiles():
     import jax
     import jax.numpy as jnp
 
+    # seed/reuse the persistent cache so dryrun_multichip's flagship-compile
+    # phase (and re-runs of this test) load the executable in minutes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

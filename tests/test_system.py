@@ -59,6 +59,26 @@ def test_train_step_decreases_nothing_but_runs(sys_state):
     assert float(jnp.abs(p1 - p0).max()) > 0.0
 
 
+def test_corrected_mode_training_descends():
+    """faithful=False (the spatially-correct Mlp/window layouts offered for
+    training new models TPU-first, PARITY.md) must actually TRAIN: run the
+    full joint step for a few iterations on a fixed learnable batch and
+    assert the loss descends.  The longer-horizon differential vs faithful
+    mode lives in tools/convergence_corrected.py (VERDICT r4 #3)."""
+    system = tiny_system(faithful=False)
+    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    rng = np.random.RandomState(2)
+    hr = jnp.asarray(rng.rand(2, 32, 128, 4), jnp.float32)
+    lr = jnp.asarray(hr[:, ::2, ::2] * 0.9 + 0.05)  # learnable LR→HR relation
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for i in range(8):
+        state, m = system.train_step(state, hr, lr, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
 def test_amp_train_step_matches_fp32_and_keeps_f32_state(sys_state):
     """bf16 mixed-precision step: loss within a few percent of the fp32 step
     from the same state, master params/opt-state/batch-stats stay float32,
