@@ -155,26 +155,14 @@ def _time_forward(jax, batch, fn, iters=10, repeats=3):
 
 
 def section_eval():
-    """Headline fp32 eval (+ roofline numbers) + bf16 serving."""
+    """Headline fp32 eval + roofline numbers (its own subprocess so the
+    headline parses even if a later section stalls)."""
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     jax, system, state = _build_system(batch)
 
     iters = 10
     imgs_per_sec = _time_forward(jax, batch, lambda lr: system.sr_forward(state, lr), iters)
-    out = {"value": round(imgs_per_sec, 2)}
-
-    # bf16 serving mode (sr_forward_bf16: host-cast bf16 params, bf16
-    # activations, argmax-safe students — a serving variant, NOT the parity
-    # path; the headline stays the quirk-exact fp32 number).
-    if os.environ.get("BENCH_SKIP_BF16") != "1":
-        try:
-            v = _time_forward(jax, batch, lambda lr: system.sr_forward_bf16(state, lr), iters)
-            out["bf16_serving_imgs_per_sec"] = round(v, 2)
-        except Exception:
-            import traceback
-
-            print("bf16 serving measurement failed:", file=sys.stderr)
-            traceback.print_exc()
+    out = {"value": round(imgs_per_sec, 2), "batch": batch}
 
     # analytic FLOPs of the compiled eval graph (the reference only has
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
@@ -197,11 +185,6 @@ def section_eval():
             out["achieved_tflops"] = round(achieved / 1e12, 2)
             out["graph_tflop_per_batch"] = round(graph_tflop, 3)
             out["device"] = jax.devices()[0].device_kind
-            if "bf16_serving_imgs_per_sec" in out:
-                out["bf16_serving_mfu"] = round(
-                    graph_tflop * 1e12 * out["bf16_serving_imgs_per_sec"] / batch
-                    / _peak_flops(jax.devices()[0].device_kind), 4,
-                )
         nbytes = float(ca.get("bytes accessed", 0.0))
         if nbytes > 0:
             out["hbm_bw_util"] = round((nbytes * iters / dt) / _peak_hbm(jax.devices()[0].device_kind), 4)
@@ -209,6 +192,16 @@ def section_eval():
     except Exception:
         pass
     return out
+
+
+def section_bf16():
+    """bf16 serving mode (sr_forward_bf16: host-cast bf16 params, bf16
+    activations, argmax-safe students — a serving variant, NOT the parity
+    path; the headline stays the quirk-exact fp32 number)."""
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    jax, system, state = _build_system(batch)
+    v = _time_forward(jax, batch, lambda lr: system.sr_forward_bf16(state, lr))
+    return {"bf16_serving_imgs_per_sec": round(v, 2)}
 
 
 def section_serving_test(batch):
@@ -312,6 +305,7 @@ def section_train(batch: int, train_dtype, faithful: bool = True):
 
 SECTIONS = {
     "eval": section_eval,
+    "bf16": section_bf16,
     "serving_test_b64": lambda: section_serving_test(64),
     "train_bf16_b64": lambda: section_train(64, "bfloat16"),
     "train_fp32_b64": lambda: section_train(64, None),
@@ -329,7 +323,8 @@ SECTIONS = {
 # the in-flight subprocess timeout still bounds the run.
 EST_S = {
     "eval": 150.0,
-    "serving_test_b64": 90.0,
+    "bf16": 100.0,
+    "serving_test_b64": 100.0,
     "train_bf16_b64": 90.0,
     "train_fp32_b64": 90.0,
     "corrected": 90.0,
@@ -352,6 +347,12 @@ def _emit(merged, skipped):
         "vs_baseline": round(imgs_per_sec / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 3)
         if imgs_per_sec else None,
     }
+    # derived: bf16 serving MFU from the eval section's graph FLOPs
+    tfl, dev, batch = merged.get("graph_tflop_per_batch"), merged.get("device"), merged.get("batch")
+    bf16 = merged.get("bf16_serving_imgs_per_sec")
+    if tfl and dev and batch and bf16:
+        merged["bf16_serving_mfu"] = round(tfl * 1e12 * bf16 / batch / _peak_flops(dev), 4)
+
     out.update(merged)
     if skipped:
         out["skipped_sections"] = skipped
