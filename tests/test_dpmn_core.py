@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dpmn_tpu.models import PGRM, CMM, DistillModule
+import pytest
 
 
 def _pgrm(iter_=0, graphic=True, faithful=True):
@@ -117,6 +118,7 @@ def test_distill_module():
     assert float(loss) >= 0.0
 
 
+@pytest.mark.slow
 def test_mlp_remat_flag_bit_exact():
     """DPMN_TPU_MLP_REMAT=1 must not change the param tree, outputs, or any
     gradient (jax.checkpoint only changes WHEN the Mlp hiddens are

@@ -102,6 +102,7 @@ def test_resolve_native_checkpoint(tmp_path):
     assert resolve_native_checkpoint(str(pth)) == ""
 
 
+@pytest.mark.slow
 def test_cli_train_then_test_roundtrip(tmp_path):
     """Train 2 steps through the CLI → checkpoint → main.py --test reloads
     that exact state (VERDICT r2 item 2 done-criterion)."""

@@ -82,6 +82,7 @@ def test_accum_matches_sequential_microbatch_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_accum_close_to_big_batch():
     """Dropout off: the AVERAGED microbatch gradient tracks the one-big-batch
     gradient up to the BatchNorm microbatch-normalization deviation (the same
@@ -141,6 +142,7 @@ def test_trainer_grad_accum_smoke():
     assert int(new_state["step"]) == 1
 
 
+@pytest.mark.slow
 def test_accum_sharded_matches_single_device():
     """accum(a=2) over an 8-device data mesh == the single-device accum step
     (same microbatch partition; the mesh only changes reduce order)."""

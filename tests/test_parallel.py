@@ -57,6 +57,7 @@ def test_shard_host_batch_matches_shard_batch(parallel_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(parallel_setup):
     system, state, mesh, train_step, _ = parallel_setup
     rng = jax.random.PRNGKey(1)
@@ -95,6 +96,7 @@ def test_sharded_train_step_matches_single_device(parallel_setup):
     assert int(new_state["step"]) == 1
 
 
+@pytest.mark.slow
 def test_sharded_amp_train_step_runs_and_descends():
     """bf16 mixed-precision training under data-parallel sharding: the
     bf16 backward's f32 grads must all-reduce cleanly and keep the f32

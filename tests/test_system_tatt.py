@@ -6,8 +6,10 @@ import numpy as np
 
 from dpmn_tpu.config import Args, TrainCfg
 from dpmn_tpu.system import DPMNSystem
+import pytest
 
 
+@pytest.mark.slow
 def test_tatt_system_2plus2_train_and_eval():
     cfg = TrainCfg(batch_size=2, width=128, height=32)
     args = Args(

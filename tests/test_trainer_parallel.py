@@ -10,6 +10,7 @@ metrics as the single-device Trainer.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dpmn_tpu.config import Args, TrainCfg
 from dpmn_tpu.train import Trainer
@@ -30,6 +31,7 @@ def make_trainer(tmp_path, tag, data_parallel):
     return Trainer(cfg, args, glyph_mode="zeros")
 
 
+@pytest.mark.slow
 def test_trainer_mesh_matches_single_device(tmp_path):
     assert jax.device_count() >= 8, "conftest must force 8 virtual devices"
     t1 = make_trainer(tmp_path, "single", data_parallel=1)
