@@ -11,6 +11,15 @@ Variants:
   eval_corrected   — faithful=False (spatially-correct layouts; no quirk
                      relayouts).  NOT weight-compatible with faithful=True.
   train_corrected  — faithful=False joint train step
+  eval_bf16_test   — bf16 serving with the reference test() glyph semantics
+                     (glyph_from_psn=True: one vmapped student stack)
+  eval_bf16_pipe2  — cross-request pipelining probe: TWO independent
+                     half-batch cascades inside ONE jit (XLA may overlap one
+                     half's serial student↔PGRM segment with the other
+                     half's bandwidth phase — the round-4 serial-residue
+                     analysis says ~31 ms/step of the bf16 step is that
+                     dependency-chained segment)
+  eval_bf16_pipe2_test — pipe2 + test() glyph semantics combined
 
 Each variant is its own jit graph (expensive first compile through the
 remote compile service — results append to stdout as JSON lines).
@@ -90,6 +99,27 @@ def run(variant):
     elif variant == "train_stu16":
         system, state = build(student_dtype="bfloat16")
         v = time_train(system, state)
+    elif variant == "eval_bf16_test":
+        system, state = build()
+        v = time_eval(system, state, lambda s, lr: system.sr_forward_bf16(s, lr, True))
+    elif variant in ("eval_bf16_pipe2", "eval_bf16_pipe2_test"):
+        system, state = build()
+        from_psn = variant.endswith("_test")
+
+        @jax.jit
+        def pipe2(state16, lr):
+            h = lr.shape[0] // 2
+            a = system._sr_forward_bf16_impl(state16, lr[:h], from_psn)
+            b = system._sr_forward_bf16_impl(state16, lr[h:], from_psn)
+            return jnp.concatenate([a, b])
+
+        def fn(s, lr):
+            if system._bf16_src is not s:
+                system._bf16_state = system.bf16_state(s)
+                system._bf16_src = s
+            return pipe2(system._bf16_state, lr)
+
+        v = time_eval(system, state, fn)
     elif variant in ("eval_corrected", "train_corrected"):
         # faithful=False: the spatially-correct Mlp/window layout — kills
         # the quirk relayout byte family (ROADMAP "Mlp-quirk grid family").

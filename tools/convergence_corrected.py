@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--arch", default="tsrn")
+    ap.add_argument("--modes", default="faithful,corrected",
+                    help="comma list; run one mode at a time to fit a wall-clock "
+                         "budget (each mode is ~90 min at 300 steps on this host)")
     args_cli = ap.parse_args()
 
     import jax
@@ -66,8 +69,11 @@ def main():
     hrs = rng.rand(n_batches, args_cli.batch, 32, 128, 4).astype(np.float32)
     lrs = (hrs[:, :, ::2, ::2] * 0.9 + 0.05).astype(np.float32)
 
+    wanted = [m.strip() for m in args_cli.modes.split(",") if m.strip()]
     results = {}
     for mode, faithful in (("faithful", True), ("corrected", False)):
+        if mode not in wanted:
+            continue
         system, state = build(faithful)
         key = jax.random.PRNGKey(1)
         losses = []
@@ -92,15 +98,16 @@ def main():
         }
         print(json.dumps(results[mode]), flush=True)
 
-    f, c = results["faithful"], results["corrected"]
     print(f"\n{'mode':<10} {'first':>9} {'last':>9} {'ratio':>7} {'wall s':>8}")
-    for r in (f, c):
+    for r in results.values():
         print(f"{r['mode']:<10} {r['loss_first10pct']:>9.3f} {r['loss_last10pct']:>9.3f} "
               f"{r['descent_ratio']:>7.3f} {r['wall_s']:>8.1f}")
-    assert c["descent_ratio"] < 0.9, "corrected mode failed to descend"
-    assert f["descent_ratio"] < 0.9, "faithful mode failed to descend"
-    print("both modes descend; corrected/faithful final-loss ratio "
-          f"{c['loss_last10pct'] / f['loss_last10pct']:.3f}")
+    for r in results.values():
+        assert r["descent_ratio"] < 0.9, f"{r['mode']} mode failed to descend"
+    if "faithful" in results and "corrected" in results:
+        f, c = results["faithful"], results["corrected"]
+        print("both modes descend; corrected/faithful final-loss ratio "
+              f"{c['loss_last10pct'] / f['loss_last10pct']:.3f}")
 
 
 if __name__ == "__main__":

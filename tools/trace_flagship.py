@@ -34,25 +34,58 @@ def summarize(logdir: str, iters: int, top: int):
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
 
+    def merged_busy(events):
+        """Union of event intervals (ms) — busy time on a timeline line."""
+        iv = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps) for ev in events)
+        busy = 0
+        cur_s = cur_e = None
+        for s, e in iv:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        return busy / 1e9
+
     for plane in xspace.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         ev_meta = plane.event_metadata
-        totals = collections.Counter()
-        counts = collections.Counter()
-        device_total = 0
+        print(f"\n=== plane: {plane.name}  ({iters} iters)")
+        op_totals = collections.Counter()
+        op_counts = collections.Counter()
+        dma_totals = collections.Counter()
         for line in plane.lines:
-            if "step" in line.name.lower():
+            if not line.events:
+                continue
+            span = (max(ev.offset_ps + ev.duration_ps for ev in line.events)
+                    - min(ev.offset_ps for ev in line.events)) / 1e9
+            busy = merged_busy(line.events)
+            print(f"  line {line.name!r:<24} busy {busy/iters:8.3f} ms/iter | "
+                  f"span {span/iters:8.3f} ms/iter | idle {(span-busy)/iters:8.3f} ms/iter")
+            if "op" not in line.name.lower():
                 continue
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
                 dur = ev.duration_ps / 1e9  # ms
-                totals[name] += dur
-                counts[name] += 1
-                device_total += dur
-        print(f"\n=== plane: {plane.name}  (total {device_total/iters:.2f} ms/iter over {iters} iters)")
-        for name, ms in totals.most_common(top):
-            print(f"{ms/iters:8.3f} ms/iter  x{counts[name]:<5d} {name[:110]}")
+                # async DMA windows (copy-start..done) overlap compute; their
+                # durations are wait windows, not occupancy — bucket apart
+                if name.startswith("%copy-start") or name.startswith("%copy-done"):
+                    dma_totals[name] += dur
+                else:
+                    op_totals[name] += dur
+                    op_counts[name] += 1
+        print("  --- top compute ops (self duration on the op line) ---")
+        for name, ms in op_totals.most_common(top):
+            print(f"{ms/iters:8.3f} ms/iter  x{op_counts[name]:<5d} {name[:110]}")
+        if dma_totals:
+            tot = sum(dma_totals.values())
+            print(f"  --- async DMA windows (overlap compute; total window {tot/iters:.1f} ms/iter) ---")
+            for name, ms in dma_totals.most_common(10):
+                print(f"{ms/iters:8.3f} ms/iter         {name[:110]}")
 
 
 def main():
