@@ -112,7 +112,11 @@ def _init_jax():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache even sub-second compiles: init_state dispatches ~800 tiny ops
+    # eagerly, and each remote-service compile costs ~0.45 s — uncached they
+    # add ~6 min to EVERY section (measured 2026-08-21); cached they are
+    # local reads
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return jax
 
 
@@ -124,8 +128,17 @@ def _build_system(batch, **arg_overrides):
 
     cfg = TrainCfg(batch_size=batch, width=128, height=32)
     system = DPMNSystem(cfg, _flagship_args(**arg_overrides), glyph_mode="atlas")
-    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    state = _jit_init(jax, system)
     return jax, system, state
+
+
+def _jit_init(jax, system):
+    """init_state as ONE jitted graph.  Eager init dispatches ~800 tiny ops
+    and on this platform EACH costs a ~0.45 s remote-service round trip even
+    when persistently cached (executable loads go through the service too —
+    measured 2026-08-21: ~6 min per section just for init).  One fused graph
+    is one compile and one cached load."""
+    return jax.jit(lambda r: system.init_state(r, batch_size=2))(jax.random.PRNGKey(0))
 
 
 def _time_forward(jax, batch, fn, iters=10, repeats=3):
@@ -160,19 +173,23 @@ def section_eval():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     jax, system, state = _build_system(batch)
 
+    import jax.numpy as jnp
+    import numpy as np
+
+    # compile ONCE and reuse the handle for both timing and cost analysis —
+    # a second .lower().compile() re-loads the big executable from the
+    # persistent cache (~100 s on this host)
+    images_lr = jnp.asarray(np.random.RandomState(0).rand(batch, 16, 64, 4), jnp.float32)
+    compiled = system.sr_forward.lower(state, images_lr, False).compile()
+
     iters = 10
-    imgs_per_sec = _time_forward(jax, batch, lambda lr: system.sr_forward(state, lr), iters)
+    imgs_per_sec = _time_forward(jax, batch, lambda lr: compiled(state, lr), iters)
     out = {"value": round(imgs_per_sec, 2), "batch": batch}
 
     # analytic FLOPs of the compiled eval graph (the reference only has
     # unused flops() stubs, model/pgrm.py:98-105 — XLA's cost model covers
     # the whole pipeline instead)
     try:
-        import jax.numpy as jnp
-        import numpy as np
-
-        images_lr = jnp.asarray(np.random.RandomState(0).rand(batch, 16, 64, 4), jnp.float32)
-        compiled = system.sr_forward.lower(state, images_lr, False).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -284,7 +301,7 @@ def section_train(batch: int, train_dtype, faithful: bool = True):
         TrainCfg(batch_size=batch, width=128, height=32), _flagship_args(**over),
         glyph_mode="atlas", donate_state=True, train_dtype=train_dtype,
     )
-    state = system.init_state(jax.random.PRNGKey(0), batch_size=2)
+    state = _jit_init(jax, system)
     rng = np.random.RandomState(0)
     hr = jnp.asarray(rng.rand(batch, 32, 128, 4), jnp.float32)
     lr = jnp.asarray(rng.rand(batch, 16, 64, 4), jnp.float32)
@@ -321,18 +338,28 @@ SECTIONS = {
 # this host/tunnel; override any with BENCH_EST_<name>=secs).  Used only
 # for the budget skip decision — a cold cache blows these, in which case
 # the in-flight subprocess timeout still bounds the run.
+#
+# Re-measured 2026-08-21: on this host even CACHED sections cost minutes —
+# persistent-cache loads of the big executables round-trip the remote
+# compile service (~100 s for a 58 MB entry), so a warm section is
+# ~400-650 s (fused-init load + big-graph load + measure), not the 90-150 s
+# these estimates previously assumed.  The headline (first section, never
+# skipped) fits the driver window; the rest are honestly estimated so the
+# 600 s default budget skips them cleanly instead of burning the window on
+# a section that cannot finish.  Their measured values are recorded in
+# STATUS.md from full manual runs (BENCH_BUDGET_S=50000).
 EST_S = {
-    "eval": 150.0,
-    "bf16": 100.0,
-    "serving_test_b64": 100.0,
-    "train_bf16_b64": 90.0,
-    "train_fp32_b64": 90.0,
-    "corrected": 90.0,
-    "serving_test_b256": 110.0,
-    "loader": 130.0,
-    "train_bf16_b128": 110.0,
-    "train_fp32_b128": 110.0,
-    "train_corrected_b64": 110.0,
+    "eval": 550.0,
+    "bf16": 400.0,
+    "serving_test_b64": 400.0,
+    "train_bf16_b64": 420.0,
+    "train_fp32_b64": 420.0,
+    "corrected": 400.0,
+    "serving_test_b256": 450.0,
+    "loader": 300.0,
+    "train_bf16_b128": 500.0,
+    "train_fp32_b128": 500.0,
+    "train_corrected_b64": 420.0,
 }
 
 
@@ -392,12 +419,15 @@ def main():
 
     merged = {}
     skipped = []
+    walls = {}
+    merged["section_wall_s"] = walls  # per-section wall clock, for budget tuning
     for i, name in enumerate(names):
         elapsed = time.time() - t_start
         est = float(os.environ.get(f"BENCH_EST_{name}", EST_S.get(name, 120.0)))
         if i > 0 and elapsed + est > budget:
             skipped.append(name)
             continue
+        t_sec = time.time()
         remaining = max(budget - elapsed, est) + 60.0  # grace for the headline
         # each section is a fresh process (sequential — one TPU process at a
         # time): a fresh HBM arena for the ~15.3 GB-peak b128 train step,
@@ -411,8 +441,10 @@ def main():
             sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or ""))
             print(f"bench section {name} timed out after {remaining:.0f}s", file=sys.stderr)
             skipped.append(name)
+            walls[name] = round(time.time() - t_sec, 1)
             _emit(merged, skipped)
             continue
+        walls[name] = round(time.time() - t_sec, 1)
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
